@@ -1,0 +1,266 @@
+"""Bandwidth-optimized shadow U-Net in Flax, NHWC, TPU-first.
+
+Capability-equivalent to the reference ``Unetmodel.py``:
+
+- pixel-unshuffle front end: [B,H,W,4] → [B,H/2,W/2,16] (Unetmodel.py:65-67)
+- encoder of ``ConvBlock`` (3×3 conv → norm → act → spatial dropout → 1×1
+  conv → norm → act; reference ``DoubleConv`` Unetmodel.py:17-33) with 2×2
+  average-pool downsampling (Unetmodel.py:40-46)
+- gradient-checkpointed bottleneck (``nn.remat``; reference
+  ``torch.utils.checkpoint`` at Unetmodel.py:114-116)
+- decoder with align-corners bilinear 2× upsampling, conv block, then
+  **additive** skip connections (Unetmodel.py:121-137: ``up + skip``)
+- 1×1 head to ``out_ch·4`` channels, pixel-shuffle reconstruction, sigmoid
+  (Unetmodel.py:139-149)
+- odd-size inputs fixed by align-corners bilinear resize at trace time
+  (Unetmodel.py:93-97)
+
+Differences by design (TPU-first, documented per SURVEY.md §7):
+
+- NHWC layout end to end (MXU/XLA-native) instead of NCHW.
+- ``encoder_widths`` generalizes the fixed 64/128/512/1024 ladder
+  (Unetmodel.py:39-48) to the paper's 3/5/7-level depth study
+  (paper.md:179-203) and wide variants.
+- The reference's ``DoubleConv`` accepts a ``dilation`` argument and silently
+  never applies it (Unetmodel.py:18-26, SURVEY.md §7 defect list); here
+  ``apply_dilation=True`` actually dilates the encoder 3×3 convs, default
+  False for parity.
+- compute dtype is configurable (bf16 default); normalization statistics are
+  always computed in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pcss_unet_tpu.ops import (
+    avg_pool_2x,
+    pixel_shuffle_nhwc,
+    pixel_unshuffle_nhwc,
+    resize_bilinear_align_corners,
+    upsample2x_align_corners,
+)
+
+Dtype = Any
+
+
+def _activation(name: str) -> Callable[[jax.Array], jax.Array]:
+    # reference: LeakyReLU(0.2) (Unetmodel.py:23, 28); config key
+    # ``activation`` (config.ini:7)
+    if name == "leaky_relu":
+        return lambda x: nn.leaky_relu(x, negative_slope=0.2)
+    if name == "relu":
+        return nn.relu
+    if name == "gelu":
+        return nn.gelu
+    raise ValueError(f"unknown activation: {name}")
+
+
+class ConvBlock(nn.Module):
+    """3×3 conv → norm → act → spatial dropout → 1×1 conv → norm → act.
+
+    Mirrors reference ``DoubleConv`` (Unetmodel.py:17-33): the 3×3 conv keeps
+    the channel count, the 1×1 conv changes it; BatchNorm eps 1e-5, torch
+    momentum 0.1 (== flax momentum 0.9); LeakyReLU(0.2); Dropout2d (whole
+    feature maps) after the first activation only.
+    """
+
+    features: int
+    dropout_rate: float = 0.2
+    dilation: int = 1
+    apply_dilation: bool = False
+    activation: str = "leaky_relu"
+    normalization: str = "batch_norm"
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    bn_axis_name: str | None = None
+
+    def _norm(self, name: str) -> Callable:
+        if self.normalization == "batch_norm":
+            return nn.BatchNorm(
+                use_running_average=None,  # set via call-time arg
+                momentum=0.9,              # torch momentum 0.1 ≡ flax 0.9
+                epsilon=1e-5,
+                dtype=jnp.float32,         # stats in fp32 for bf16 stability
+                param_dtype=self.param_dtype,
+                axis_name=self.bn_axis_name,
+                name=name,
+            )
+        if self.normalization == "group_norm":
+            return nn.GroupNorm(num_groups=None, group_size=16, epsilon=1e-5,
+                                dtype=jnp.float32, param_dtype=self.param_dtype,
+                                name=name)
+        if self.normalization == "instance_norm":
+            # per-sample, per-channel spatial norm
+            return nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5,
+                                dtype=jnp.float32, param_dtype=self.param_dtype,
+                                name=name)
+        if self.normalization == "none":
+            return lambda x, **kw: x
+        raise ValueError(f"unknown normalization: {self.normalization}")
+
+    def _apply_norm(self, norm, x, train: bool):
+        if self.normalization == "batch_norm":
+            return norm(x, use_running_average=not train)
+        if self.normalization == "none":
+            return x
+        return norm(x)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        act = _activation(self.activation)
+        in_ch = x.shape[-1]
+        dil = self.dilation if self.apply_dilation else 1
+        x = nn.Conv(in_ch, (3, 3), padding="SAME",
+                    kernel_dilation=(dil, dil),
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="conv_a")(x)
+        x = self._apply_norm(self._norm("norm_a"), x, train)
+        x = act(x).astype(self.dtype)
+        # Dropout2d: drop whole channels per sample (broadcast over H, W);
+        # reference Unetmodel.py:24
+        x = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
+                       deterministic=not train)(x)
+        x = nn.Conv(self.features, (1, 1),
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="conv_b")(x)
+        x = self._apply_norm(self._norm("norm_b"), x, train)
+        return act(x).astype(self.dtype)
+
+
+class UNet(nn.Module):
+    """Shadow-mask U-Net.  Default configuration is the reference network:
+    encoder widths (64, 128, 512, 1024) on the 16-channel unshuffled input
+    (Unetmodel.py:39-48), decoder widths mirroring the skips, additive merges.
+
+    Call: ``model.apply(vars, x, train=..., rngs={'dropout': key},
+    mutable=['batch_stats'])`` with x [B, H, W, in_ch] in [any range]; returns
+    sigmoid mask [B, H, W, out_ch].
+    """
+
+    in_ch: int = 4
+    out_ch: int = 1
+    dropout_rate: float = 0.2
+    encoder_widths: Sequence[int] = (64, 128, 512, 1024)
+    activation: str = "leaky_relu"
+    normalization: str = "batch_norm"
+    apply_dilation: bool = False
+    remat_bottleneck: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    bn_axis_name: str | None = None
+
+    def _block(self, features, dropout, name, dilation=1):
+        return ConvBlock(
+            features=features,
+            dropout_rate=dropout,
+            dilation=dilation,
+            apply_dilation=self.apply_dilation,
+            activation=self.activation,
+            normalization=self.normalization,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            bn_axis_name=self.bn_axis_name,
+            name=name,
+        )
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        orig_dtype = x.dtype
+        n, h, w, c = x.shape
+        if h % 2 or w % 2:
+            # odd-size fixup, reference Unetmodel.py:93-97 (static at trace time)
+            x = resize_bilinear_align_corners(x, (h - h % 2, w - w % 2))
+        x = x.astype(self.dtype)
+        x = pixel_unshuffle_nhwc(x, 2)          # [B, H/2, W/2, in_ch*4]
+        unshuffled_ch = self.in_ch * 4
+
+        widths = tuple(self.encoder_widths)
+        depth = len(widths)
+
+        # --- encoder ---
+        skips: list[jax.Array] = []
+        for i, width in enumerate(widths[:-1]):
+            # reference encoder dilations 1,2,4 accepted-but-unused
+            # (Unetmodel.py:39-45); honoured only if apply_dilation
+            x = self._block(width, self.dropout_rate, f"enc_{i}",
+                            dilation=2 ** i)(x, train=train)
+            skips.append(x)
+            x = avg_pool_2x(x)
+
+        # --- bottleneck (grad-checkpointed, reference Unetmodel.py:114-116) ---
+        # static_argnums counts Module.__call__ args with self at 0, so
+        # ``train`` (a Python bool steering dropout/BN modes) is arg 2.
+        block_cls = (nn.remat(ConvBlock, static_argnums=(2,))
+                     if (self.remat_bottleneck and train) else ConvBlock)
+        x = block_cls(
+            features=widths[-1],
+            dropout_rate=self.dropout_rate,
+            apply_dilation=self.apply_dilation,
+            activation=self.activation,
+            normalization=self.normalization,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            bn_axis_name=self.bn_axis_name,
+            name=f"enc_{depth-1}",
+        )(x, train)
+
+        # --- decoder: upsample → conv block → additive skip ---
+        for i, skip in enumerate(reversed(skips)):
+            x = upsample2x_align_corners(x.astype(jnp.float32)).astype(self.dtype)
+            if x.shape[1:3] != skip.shape[1:3]:
+                # size re-match, reference Unetmodel.py:118-119
+                x = resize_bilinear_align_corners(
+                    x.astype(jnp.float32), skip.shape[1:3]).astype(self.dtype)
+            x = self._block(skip.shape[-1], self.dropout_rate,
+                            f"dec_{i}")(x, train=train)
+            x = x + skip                          # additive merge, Unetmodel.py:125
+
+        # --- head ---
+        # The reference upsamples 2× to full resolution and immediately
+        # re-matches back down to the unshuffled half resolution
+        # (Unetmodel.py:140-141: up9 = up(merge8); _upsample_and_match(up9, x)
+        # where x is the unshuffled input).  The up-then-down composition of
+        # align-corners resizes is NOT the identity, so we replicate both.
+        x = upsample2x_align_corners(x.astype(jnp.float32))
+        x = resize_bilinear_align_corners(
+            x, skips[0].shape[1:3]).astype(self.dtype)
+        # final decoder block runs at half dropout, reference Unetmodel.py:61
+        x = self._block(unshuffled_ch, self.dropout_rate / 2, "dec_final")(
+            x, train=train)
+        x = nn.Conv(self.out_ch * 4, (1, 1), dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="head")(x)
+        x = pixel_shuffle_nhwc(x, 2)              # [B, H, W, out_ch]
+        x = jax.nn.sigmoid(x.astype(jnp.float32))  # Unetmodel.py:148
+        return x.astype(orig_dtype) if orig_dtype == jnp.float32 else x
+
+
+def unet_from_config(cfg) -> UNet:
+    """Build the UNet from a ``pcss_unet_tpu.config.Config``."""
+    widths = {
+        3: (cfg.base_width, cfg.base_width * 2, cfg.base_width * 4),
+        4: (cfg.base_width, cfg.base_width * 2, cfg.base_width * 8,
+            cfg.base_width * 16),
+        5: (cfg.base_width, cfg.base_width * 2, cfg.base_width * 4,
+            cfg.base_width * 8, cfg.base_width * 16),
+        7: (cfg.base_width, cfg.base_width, cfg.base_width * 2,
+            cfg.base_width * 4, cfg.base_width * 8, cfg.base_width * 8,
+            cfg.base_width * 16),
+    }.get(cfg.model_depth)
+    if widths is None:
+        raise ValueError(f"unsupported model_depth: {cfg.model_depth}")
+    return UNet(
+        in_ch=cfg.input_channels,
+        out_ch=cfg.output_channels,
+        dropout_rate=cfg.dropout_rate,
+        encoder_widths=widths,
+        activation=cfg.activation,
+        normalization=cfg.normalization,
+        apply_dilation=cfg.apply_dilation,
+        dtype=jnp.dtype(cfg.compute_dtype),
+        param_dtype=jnp.dtype(cfg.param_dtype),
+    )

@@ -1,0 +1,85 @@
+"""Parity tests for primitive ops against torch (CPU) ground truth.
+
+The reference relies on torch's exact semantics for pixel_(un)shuffle
+(Unetmodel.py:67, 86), align-corners bilinear interpolation
+(Unetmodel.py:51, 97, 119), and AvgPool2d(2) (Unetmodel.py:40) — these tests
+pin our NHWC implementations to those semantics so torch-trained checkpoints
+stay PSNR-faithful after conversion."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import torch
+import torch.nn.functional as F
+
+from pcss_unet_tpu.ops import (
+    avg_pool_2x,
+    pixel_shuffle_nhwc,
+    pixel_unshuffle_nhwc,
+    resize_bilinear_align_corners,
+    upsample2x_align_corners,
+)
+
+
+def nchw(x_nhwc):
+    return np.transpose(x_nhwc, (0, 3, 1, 2))
+
+
+def nhwc(x_nchw):
+    return np.transpose(x_nchw, (0, 2, 3, 1))
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 8, 4), (1, 6, 10, 3), (3, 16, 16, 1)])
+def test_pixel_unshuffle_matches_torch(rng, shape):
+    x = rng.standard_normal(shape).astype(np.float32)
+    ours = np.asarray(pixel_unshuffle_nhwc(jnp.asarray(x), 2))
+    ref = F.pixel_unshuffle(torch.from_numpy(nchw(x)), 2).numpy()
+    np.testing.assert_array_equal(ours, nhwc(ref))
+
+
+@pytest.mark.parametrize("shape,r", [((2, 4, 4, 16), 2), ((1, 3, 5, 36), 3)])
+def test_pixel_shuffle_matches_torch(rng, shape, r):
+    x = rng.standard_normal(shape).astype(np.float32)
+    ours = np.asarray(pixel_shuffle_nhwc(jnp.asarray(x), r))
+    ref = F.pixel_shuffle(torch.from_numpy(nchw(x)), r).numpy()
+    np.testing.assert_array_equal(ours, nhwc(ref))
+
+
+def test_shuffle_roundtrip(rng):
+    x = rng.standard_normal((2, 12, 8, 4)).astype(np.float32)
+    y = pixel_shuffle_nhwc(pixel_unshuffle_nhwc(jnp.asarray(x), 2), 2)
+    np.testing.assert_array_equal(np.asarray(y), x)
+
+
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [((8, 8), (16, 16)),      # clean 2x (decoder upsample, Unetmodel.py:51)
+     ((7, 9), (14, 18)),      # odd 2x
+     ((16, 16), (13, 11)),    # downsize (odd-input fixup, Unetmodel.py:93-97)
+     ((5, 5), (5, 5)),        # identity
+     ((1, 4), (3, 8))],       # degenerate H=1
+)
+def test_resize_align_corners_matches_torch(rng, in_hw, out_hw):
+    x = rng.standard_normal((2, *in_hw, 3)).astype(np.float32)
+    ours = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), out_hw))
+    ref = F.interpolate(
+        torch.from_numpy(nchw(x)), size=out_hw, mode="bilinear", align_corners=True
+    ).numpy()
+    np.testing.assert_allclose(ours, nhwc(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_upsample2x_matches_torch(rng):
+    x = rng.standard_normal((1, 9, 13, 2)).astype(np.float32)
+    ours = np.asarray(upsample2x_align_corners(jnp.asarray(x)))
+    up = torch.nn.Upsample(scale_factor=2, mode="bilinear", align_corners=True)
+    ref = up(torch.from_numpy(nchw(x))).numpy()
+    np.testing.assert_allclose(ours, nhwc(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("hw", [(8, 8), (9, 7)])
+def test_avg_pool_matches_torch(rng, hw):
+    x = rng.standard_normal((2, *hw, 5)).astype(np.float32)
+    ours = np.asarray(avg_pool_2x(jnp.asarray(x)))
+    ref = torch.nn.AvgPool2d(2)(torch.from_numpy(nchw(x))).numpy()
+    np.testing.assert_allclose(ours, nhwc(ref), rtol=1e-6, atol=1e-6)
