@@ -1,0 +1,441 @@
+// Native EXR scanline codec for the pcss_unet_tpu input pipeline.
+//
+// The reference pipeline decodes G-buffer EXR stacks through the OpenEXR
+// C++ bindings (reference setdata.py:42-58); this is the framework's own
+// native decoder/encoder covering the subset the pipeline uses:
+//   - single-part scanline files, version 2
+//   - compression NONE(0), ZIPS(2), ZIP(3)   [zlib]
+//   - pixel types UINT(0), HALF(1), FLOAT(2)
+//   - INCREASING_Y line order
+// Exposed as a C ABI consumed via ctypes (pcss_unet_tpu/io/exr.py).  The
+// pure-Python twin (io/exr_py.py) is the fallback and the differential-test
+// oracle.  File-level parallelism happens in Python threads: every entry
+// point is GIL-free during the whole decode.
+//
+// Build: see native/exr/build.sh  (g++ -O3 -shared -fPIC ... -lz)
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <string>
+#include <vector>
+#include <memory>
+#include <zlib.h>
+
+namespace {
+
+constexpr int32_t kMagic = 20000630;
+constexpr int PT_UINT = 0, PT_HALF = 1, PT_FLOAT = 2;
+constexpr int COMP_NONE = 0, COMP_ZIPS = 2, COMP_ZIP = 3;
+
+struct Channel {
+  std::string name;
+  int32_t pixel_type;
+};
+
+inline int pixel_size(int32_t pt) {
+  return pt == PT_HALF ? 2 : 4;
+}
+
+// IEEE half -> float (scalar; decode path converts full rows)
+inline float half_to_float(uint16_t h) {
+  uint32_t sign = (uint32_t)(h >> 15) << 31;
+  uint32_t exp = (h >> 10) & 0x1f;
+  uint32_t mant = h & 0x3ff;
+  uint32_t bits;
+  if (exp == 0) {
+    if (mant == 0) {
+      bits = sign;
+    } else {  // subnormal: normalize
+      int e = -1;
+      uint32_t m = mant;
+      do { m <<= 1; ++e; } while (!(m & 0x400));
+      bits = sign | ((uint32_t)(127 - 15 - e) << 23) | ((m & 0x3ff) << 13);
+    }
+  } else if (exp == 31) {
+    bits = sign | 0x7f800000u | (mant << 13);
+  } else {
+    bits = sign | ((exp - 15 + 127) << 23) | (mant << 13);
+  }
+  float f;
+  std::memcpy(&f, &bits, 4);
+  return f;
+}
+
+inline uint16_t float_to_half(float f) {
+  uint32_t bits;
+  std::memcpy(&bits, &f, 4);
+  uint32_t sign = (bits >> 16) & 0x8000u;
+  int32_t exp = (int32_t)((bits >> 23) & 0xff) - 127 + 15;
+  uint32_t mant = bits & 0x7fffffu;
+  if (exp <= 0) {
+    if (exp < -10) return (uint16_t)sign;
+    mant |= 0x800000u;
+    uint32_t shifted = mant >> (1 - exp + 13);
+    return (uint16_t)(sign | shifted);
+  }
+  if (exp >= 31) return (uint16_t)(sign | 0x7c00u | (((bits & 0x7f800000u) == 0x7f800000u && mant) ? 0x200 : 0));
+  return (uint16_t)(sign | (exp << 10) | (mant >> 13));
+}
+
+struct Reader {
+  std::vector<uint8_t> owned;       // file bytes (when opened from path)
+  const uint8_t* data = nullptr;
+  size_t size = 0;
+  std::vector<Channel> channels;
+  int compression = COMP_NONE;
+  int32_t xmin = 0, ymin = 0, xmax = 0, ymax = 0;
+  int width = 0, height = 0;
+  int lines_per_chunk = 1;
+  std::vector<int64_t> chunk_offsets;
+  std::string error;
+
+  bool fail(const std::string& msg) { error = msg; return false; }
+
+  bool read_cstr(size_t& pos, std::string* out) {
+    size_t start = pos;
+    while (pos < size && data[pos] != 0) ++pos;
+    if (pos >= size) return false;
+    out->assign((const char*)data + start, pos - start);
+    ++pos;
+    return true;
+  }
+
+  bool parse() {
+    if (size < 8) return fail("truncated file");
+    int32_t magic, version;
+    std::memcpy(&magic, data, 4);
+    std::memcpy(&version, data + 4, 4);
+    if (magic != kMagic) return fail("bad magic (not an EXR file)");
+    if (version & 0x200) return fail("multi-part EXR not supported");
+    if (version & 0x800) return fail("deep-data EXR not supported");
+    size_t pos = 8;
+    bool have_channels = false, have_dw = false, have_comp = false;
+    while (true) {
+      std::string name, type;
+      if (!read_cstr(pos, &name)) return fail("truncated header");
+      if (name.empty()) break;
+      if (!read_cstr(pos, &type)) return fail("truncated header");
+      if (pos + 4 > size) return fail("truncated header");
+      int32_t asize;
+      std::memcpy(&asize, data + pos, 4);
+      pos += 4;
+      if (asize < 0 || pos + (size_t)asize > size) return fail("bad attribute size");
+      const uint8_t* payload = data + pos;
+      if (name == "channels") {
+        size_t cpos = 0;
+        while (cpos < (size_t)asize && payload[cpos] != 0) {
+          Channel ch;
+          size_t s = cpos;
+          while (cpos < (size_t)asize && payload[cpos] != 0) ++cpos;
+          ch.name.assign((const char*)payload + s, cpos - s);
+          ++cpos;
+          if (cpos + 16 > (size_t)asize) return fail("bad chlist");
+          std::memcpy(&ch.pixel_type, payload + cpos, 4);
+          cpos += 16;  // pixel_type(4) + pLinear/reserved(4) + xSampling(4) + ySampling(4)
+          channels.push_back(ch);
+        }
+        have_channels = true;
+      } else if (name == "dataWindow") {
+        if (asize < 16) return fail("bad dataWindow");
+        std::memcpy(&xmin, payload, 4);
+        std::memcpy(&ymin, payload + 4, 4);
+        std::memcpy(&xmax, payload + 8, 4);
+        std::memcpy(&ymax, payload + 12, 4);
+        have_dw = true;
+      } else if (name == "compression") {
+        if (asize < 1) return fail("bad compression");
+        compression = payload[0];
+        have_comp = true;
+      }
+      pos += asize;
+    }
+    if (!have_channels || !have_dw || !have_comp)
+      return fail("missing required header attribute");
+    if (compression == COMP_ZIP) lines_per_chunk = 16;
+    else if (compression == COMP_NONE || compression == COMP_ZIPS) lines_per_chunk = 1;
+    else return fail("unsupported compression (supported: NONE, ZIPS, ZIP)");
+    width = xmax - xmin + 1;
+    height = ymax - ymin + 1;
+    if (width <= 0 || height <= 0) return fail("empty data window");
+    int n_chunks = (height + lines_per_chunk - 1) / lines_per_chunk;
+    if (pos + (size_t)n_chunks * 8 > size) return fail("truncated offset table");
+    chunk_offsets.resize(n_chunks);
+    std::memcpy(chunk_offsets.data(), data + pos, (size_t)n_chunks * 8);
+    return true;
+  }
+
+  // Undo OpenEXR's reorder+delta transform in place (scratch -> out).
+  static void undo_zip_transform(std::vector<uint8_t>& buf,
+                                 std::vector<uint8_t>& out) {
+    size_t n = buf.size();
+    for (size_t i = 1; i < n; ++i)
+      buf[i] = (uint8_t)((int)buf[i - 1] + (int)buf[i] - 128);
+    out.resize(n);
+    const uint8_t* t1 = buf.data();
+    const uint8_t* t2 = buf.data() + (n + 1) / 2;
+    uint8_t* s = out.data();
+    uint8_t* stop = s + n;
+    while (true) {
+      if (s < stop) *s++ = *t1++; else break;
+      if (s < stop) *s++ = *t2++; else break;
+    }
+  }
+
+  // Decode one channel (by name) into dst [height*width] float32.
+  // Returns 1 on success, 0 if the channel is absent, -1 on error.
+  int read_channel(const char* cname, float* dst) {
+    int target = -1;
+    for (size_t i = 0; i < channels.size(); ++i)
+      if (channels[i].name == cname) { target = (int)i; break; }
+    if (target < 0) return 0;
+
+    std::vector<size_t> row_bytes(channels.size());
+    size_t line_bytes = 0;
+    for (size_t i = 0; i < channels.size(); ++i) {
+      row_bytes[i] = (size_t)width * pixel_size(channels[i].pixel_type);
+      line_bytes += row_bytes[i];
+    }
+    size_t target_off = 0;
+    for (int i = 0; i < target; ++i) target_off += row_bytes[i];
+    int pt = channels[target].pixel_type;
+
+    std::vector<uint8_t> scratch, raw;
+    for (size_t ci = 0; ci < chunk_offsets.size(); ++ci) {
+      int64_t off = chunk_offsets[ci];
+      if (off < 0 || (size_t)off + 8 > size) { error = "bad chunk offset"; return -1; }
+      int32_t y, csize;
+      std::memcpy(&y, data + off, 4);
+      std::memcpy(&csize, data + off + 4, 4);
+      if (csize < 0 || (size_t)off + 8 + (size_t)csize > size) {
+        error = "bad chunk size"; return -1;
+      }
+      const uint8_t* payload = data + off + 8;
+      int y0 = y - ymin;
+      int n_lines = std::min(lines_per_chunk, height - y0);
+      size_t raw_size = line_bytes * (size_t)n_lines;
+      const uint8_t* lines_ptr;
+      if (compression == COMP_NONE || (size_t)csize >= raw_size) {
+        lines_ptr = payload;  // stored raw (incompressible chunk)
+      } else {
+        scratch.resize(raw_size);
+        uLongf dlen = raw_size;
+        if (uncompress(scratch.data(), &dlen, payload, csize) != Z_OK ||
+            dlen != raw_size) {
+          error = "zlib inflate failed"; return -1;
+        }
+        undo_zip_transform(scratch, raw);
+        lines_ptr = raw.data();
+      }
+      for (int line = 0; line < n_lines; ++line) {
+        const uint8_t* src = lines_ptr + line_bytes * line + target_off;
+        float* row = dst + (size_t)(y0 + line) * width;
+        if (pt == PT_FLOAT) {
+          std::memcpy(row, src, (size_t)width * 4);
+        } else if (pt == PT_HALF) {
+          const uint16_t* hp = (const uint16_t*)src;
+          for (int x = 0; x < width; ++x) row[x] = half_to_float(hp[x]);
+        } else {  // UINT
+          const uint32_t* up = (const uint32_t*)src;
+          for (int x = 0; x < width; ++x) row[x] = (float)up[x];
+        }
+      }
+    }
+    return 1;
+  }
+};
+
+void do_zip_transform(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
+  out.resize(n);
+  // split even/odd byte streams
+  uint8_t* t1 = out.data();
+  uint8_t* t2 = out.data() + (n + 1) / 2;
+  for (size_t i = 0; i < n; ++i) {
+    if (i % 2 == 0) *t1++ = src[i]; else *t2++ = src[i];
+  }
+  // delta encode
+  uint8_t prev = out[0];
+  for (size_t i = 1; i < n; ++i) {
+    uint8_t cur = out[i];
+    out[i] = (uint8_t)((int)cur - (int)prev + 128);
+    prev = cur;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* pcss_exr_open(const uint8_t* data, int64_t size) {
+  auto* r = new Reader();
+  r->data = data;
+  r->size = (size_t)size;
+  if (!r->parse()) {
+    // keep handle so the caller can read the error, but flag it
+    r->width = -1;
+  }
+  return r;
+}
+
+void* pcss_exr_open_file(const char* path) {
+  FILE* f = std::fopen(path, "rb");
+  auto* r = new Reader();
+  if (!f) {
+    r->fail("cannot open file");
+    r->width = -1;
+    return r;
+  }
+  std::fseek(f, 0, SEEK_END);
+  long sz = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  r->owned.resize((size_t)sz);
+  size_t got = std::fread(r->owned.data(), 1, (size_t)sz, f);
+  std::fclose(f);
+  r->data = r->owned.data();
+  r->size = got;
+  if (got != (size_t)sz || !r->parse()) {
+    if (r->error.empty()) r->error = "short read";
+    r->width = -1;
+  }
+  return r;
+}
+
+int pcss_exr_dims(void* h, int* width, int* height) {
+  auto* r = (Reader*)h;
+  if (r->width < 0) return -1;
+  *width = r->width;
+  *height = r->height;
+  return 0;
+}
+
+int pcss_exr_num_channels(void* h) {
+  auto* r = (Reader*)h;
+  return (int)r->channels.size();
+}
+
+int pcss_exr_channel_name(void* h, int idx, char* buf, int buflen) {
+  auto* r = (Reader*)h;
+  if (idx < 0 || idx >= (int)r->channels.size()) return -1;
+  std::snprintf(buf, buflen, "%s", r->channels[idx].name.c_str());
+  return 0;
+}
+
+int pcss_exr_read_channel(void* h, const char* name, float* dst) {
+  return ((Reader*)h)->read_channel(name, dst);
+}
+
+const char* pcss_exr_error(void* h) {
+  return ((Reader*)h)->error.c_str();
+}
+
+void pcss_exr_close(void* h) {
+  delete (Reader*)h;
+}
+
+// Write a single-part scanline EXR.  names: n null-terminated channel names
+// (MUST be in ascending/alphabetical order); chans: n pointers to
+// [height*width] float32.  compression: 0 NONE / 2 ZIPS / 3 ZIP.
+// pixel_type: 1 HALF / 2 FLOAT.  Returns 0 on success.
+int pcss_exr_write(const char* path, const char* const* names,
+                   const float* const* chans, int n, int width, int height,
+                   int compression, int pixel_type) {
+  if (compression != COMP_NONE && compression != COMP_ZIPS &&
+      compression != COMP_ZIP)
+    return -1;
+  if (pixel_type != PT_HALF && pixel_type != PT_FLOAT) return -1;
+  int lpc = compression == COMP_ZIP ? 16 : 1;
+  int psz = pixel_size(pixel_type);
+
+  std::string header;
+  auto attr = [&](const char* aname, const char* atype,
+                  const std::string& payload) {
+    header += aname; header.push_back(0);
+    header += atype; header.push_back(0);
+    int32_t len = (int32_t)payload.size();
+    header.append((const char*)&len, 4);
+    header += payload;
+  };
+  std::string chlist;
+  for (int i = 0; i < n; ++i) {
+    chlist += names[i]; chlist.push_back(0);
+    int32_t pt = pixel_type, zero = 0, one = 1;
+    chlist.append((const char*)&pt, 4);
+    chlist.append((const char*)&zero, 4);  // pLinear + reserved
+    chlist.append((const char*)&one, 4);   // xSampling
+    chlist.append((const char*)&one, 4);   // ySampling
+  }
+  chlist.push_back(0);
+  int32_t box[4] = {0, 0, width - 1, height - 1};
+  std::string boxs((const char*)box, 16);
+  float paspect = 1.0f, swc[2] = {0, 0}, sww = 1.0f;
+  attr("channels", "chlist", chlist);
+  attr("compression", "compression", std::string(1, (char)compression));
+  attr("dataWindow", "box2i", boxs);
+  attr("displayWindow", "box2i", boxs);
+  attr("lineOrder", "lineOrder", std::string(1, (char)0));
+  attr("pixelAspectRatio", "float", std::string((const char*)&paspect, 4));
+  attr("screenWindowCenter", "v2f", std::string((const char*)swc, 8));
+  attr("screenWindowWidth", "float", std::string((const char*)&sww, 4));
+  header.push_back(0);
+
+  int n_chunks = (height + lpc - 1) / lpc;
+  size_t line_bytes = (size_t)width * psz * n;
+  std::vector<std::string> payloads(n_chunks);
+  std::vector<uint8_t> rows, transformed;
+  std::vector<uint8_t> comp_buf;
+  for (int ci = 0; ci < n_chunks; ++ci) {
+    int y0 = ci * lpc;
+    int n_lines = std::min(lpc, height - y0);
+    rows.resize(line_bytes * n_lines);
+    uint8_t* w = rows.data();
+    for (int line = 0; line < n_lines; ++line) {
+      for (int k = 0; k < n; ++k) {
+        const float* src = chans[k] + (size_t)(y0 + line) * width;
+        if (pixel_type == PT_FLOAT) {
+          std::memcpy(w, src, (size_t)width * 4);
+          w += (size_t)width * 4;
+        } else {
+          uint16_t* hw = (uint16_t*)w;
+          for (int x = 0; x < width; ++x) hw[x] = float_to_half(src[x]);
+          w += (size_t)width * 2;
+        }
+      }
+    }
+    if (compression == COMP_NONE) {
+      payloads[ci].assign((const char*)rows.data(), rows.size());
+    } else {
+      do_zip_transform(rows.data(), rows.size(), transformed);
+      uLongf clen = compressBound(transformed.size());
+      comp_buf.resize(clen);
+      if (compress2(comp_buf.data(), &clen, transformed.data(),
+                    transformed.size(), Z_DEFAULT_COMPRESSION) != Z_OK)
+        return -2;
+      if (clen < rows.size())
+        payloads[ci].assign((const char*)comp_buf.data(), clen);
+      else
+        payloads[ci].assign((const char*)rows.data(), rows.size());
+    }
+  }
+
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return -3;
+  int32_t magic = kMagic, version = 2;
+  std::fwrite(&magic, 4, 1, f);
+  std::fwrite(&version, 4, 1, f);
+  std::fwrite(header.data(), 1, header.size(), f);
+  int64_t pos = 8 + (int64_t)header.size() + 8LL * n_chunks;
+  for (int ci = 0; ci < n_chunks; ++ci) {
+    std::fwrite(&pos, 8, 1, f);
+    pos += 8 + (int64_t)payloads[ci].size();
+  }
+  for (int ci = 0; ci < n_chunks; ++ci) {
+    int32_t y0 = ci * lpc, sz = (int32_t)payloads[ci].size();
+    std::fwrite(&y0, 4, 1, f);
+    std::fwrite(&sz, 4, 1, f);
+    std::fwrite(payloads[ci].data(), 1, payloads[ci].size(), f);
+  }
+  std::fclose(f);
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,190 @@
+"""EXR reading/writing — public API of the IO layer.
+
+``read_exr`` reproduces the reference's channel contract exactly
+(setdata.py:34-110): returns the four float32 [H, W] planes R, G, B, A; a
+missing A channel is synthesized as all-ones (setdata.py:64-67); non-finite
+values are scrubbed nan→0, +inf→1, −inf→0 (setdata.py:81-83).
+
+Backend selection: the native C++ codec (native/exr/exr_codec.cpp, built
+on demand to ``native/exr/libpcss_exr.so``) when available — every call
+releases the GIL for the full decode so the data-prep layer parallelizes
+across files with plain threads — else the pure-Python codec
+(io/exr_py.py).  Set ``PCSS_EXR_BACKEND=python|native`` to force one.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from typing import Sequence
+
+import numpy as np
+
+from pcss_unet_tpu.io import exr_py
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native", "exr")
+_NATIVE_SO = os.path.join(_NATIVE_DIR, "libpcss_exr.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_build_attempted = False
+
+COMP_NONE = exr_py.COMP_NONE
+COMP_ZIPS = exr_py.COMP_ZIPS
+COMP_ZIP = exr_py.COMP_ZIP
+PT_HALF = exr_py.PT_HALF
+PT_FLOAT = exr_py.PT_FLOAT
+
+
+def _load_native():
+    """Load (building if necessary) the native codec; None on any failure."""
+    global _lib, _build_attempted
+    if os.environ.get("PCSS_EXR_BACKEND") == "python":
+        return None
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_NATIVE_SO) and not _build_attempted:
+            _build_attempted = True
+            src = os.path.join(_NATIVE_DIR, "exr_codec.cpp")
+            if os.path.exists(src):
+                try:
+                    subprocess.run(
+                        ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                         "-o", _NATIVE_SO, src, "-lz"],
+                        check=True, capture_output=True, timeout=120)
+                    logging.info("built native EXR codec at %s", _NATIVE_SO)
+                except Exception as e:  # noqa: BLE001 - fall back to python codec
+                    logging.warning("native EXR codec build failed (%s); "
+                                    "using pure-Python codec", e)
+                    return None
+        if not os.path.exists(_NATIVE_SO):
+            return None
+        try:
+            lib = ctypes.CDLL(_NATIVE_SO)
+        except OSError as e:
+            logging.warning("cannot load %s (%s); using pure-Python codec",
+                            _NATIVE_SO, e)
+            return None
+        lib.pcss_exr_open_file.restype = ctypes.c_void_p
+        lib.pcss_exr_open_file.argtypes = [ctypes.c_char_p]
+        lib.pcss_exr_dims.restype = ctypes.c_int
+        lib.pcss_exr_dims.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_int),
+                                      ctypes.POINTER(ctypes.c_int)]
+        lib.pcss_exr_num_channels.restype = ctypes.c_int
+        lib.pcss_exr_num_channels.argtypes = [ctypes.c_void_p]
+        lib.pcss_exr_channel_name.restype = ctypes.c_int
+        lib.pcss_exr_channel_name.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                              ctypes.c_char_p, ctypes.c_int]
+        lib.pcss_exr_read_channel.restype = ctypes.c_int
+        lib.pcss_exr_read_channel.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                              ctypes.POINTER(ctypes.c_float)]
+        lib.pcss_exr_error.restype = ctypes.c_char_p
+        lib.pcss_exr_error.argtypes = [ctypes.c_void_p]
+        lib.pcss_exr_close.restype = None
+        lib.pcss_exr_close.argtypes = [ctypes.c_void_p]
+        lib.pcss_exr_write.restype = ctypes.c_int
+        lib.pcss_exr_write.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
+        _lib = lib
+        return _lib
+
+
+def _read_channels_native(path: str, names: Sequence[str]):
+    lib = _load_native()
+    if lib is None:
+        return None
+    handle = lib.pcss_exr_open_file(path.encode())
+    try:
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        if lib.pcss_exr_dims(handle, ctypes.byref(w), ctypes.byref(h)) != 0:
+            raise IOError(f"EXR parse error in {path}: "
+                          f"{lib.pcss_exr_error(handle).decode()}")
+        out: dict[str, np.ndarray | None] = {}
+        for name in names:
+            buf = np.empty((h.value, w.value), np.float32)
+            rc = lib.pcss_exr_read_channel(
+                handle, name.encode(),
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            if rc == 1:
+                out[name] = buf
+            elif rc == 0:
+                out[name] = None
+            else:
+                raise IOError(f"EXR decode error in {path}: "
+                              f"{lib.pcss_exr_error(handle).decode()}")
+        return out
+    finally:
+        lib.pcss_exr_close(handle)
+
+
+def read_exr_channels(path: str, names: Sequence[str]) -> dict:
+    """Raw channel access: {name: float32 [H,W] or None if absent}."""
+    if not os.path.exists(path):
+        raise IOError(f"EXR file does not exist: {path}")
+    if os.environ.get("PCSS_EXR_BACKEND") != "python":
+        result = _read_channels_native(path, names)
+        if result is not None:
+            return result
+    return exr_py.read_exr_channels_py(path, list(names))
+
+
+def read_exr(path: str) -> list[np.ndarray]:
+    """Reference-contract reader (setdata.py:34-110): R, G, B, A float32
+    planes; missing A → ones; non-finite → nan_to_num(0, 1, 0)."""
+    chans = read_exr_channels(path, ["R", "G", "B", "A"])
+    out = []
+    shape = None
+    for name in ["R", "G", "B", "A"]:
+        arr = chans[name]
+        if arr is not None and shape is None:
+            shape = arr.shape
+    if shape is None:
+        raise ValueError(f"no R/G/B/A channels in {path}")
+    for name in ["R", "G", "B", "A"]:
+        arr = chans[name]
+        if arr is None:
+            if name == "A":
+                arr = np.ones(shape, np.float32)  # setdata.py:64-67
+            else:
+                raise ValueError(f"channel {name} missing in {path}")
+        if not np.isfinite(arr).all():
+            arr = np.nan_to_num(arr, nan=0.0, posinf=1.0, neginf=0.0)
+        out.append(arr)
+    return out
+
+
+def read_exr_stack(path: str) -> np.ndarray:
+    """Convenience: [H, W, 4] float32 stack (NHWC-friendly)."""
+    return np.stack(read_exr(path), axis=-1)
+
+
+def write_exr(path: str, channels: dict[str, np.ndarray],
+              compression: int = COMP_ZIP, pixel_type: int = PT_FLOAT) -> None:
+    """Write a scanline EXR.  Channel dict keys are sorted (EXR requires an
+    alphabetical chlist)."""
+    lib = _load_native() if os.environ.get("PCSS_EXR_BACKEND") != "python" else None
+    names = sorted(channels)
+    if lib is not None:
+        arrs = [np.ascontiguousarray(np.asarray(channels[n], np.float32))
+                for n in names]
+        h, w = arrs[0].shape
+        name_arr = (ctypes.c_char_p * len(names))(*[n.encode() for n in names])
+        ptr_arr = (ctypes.POINTER(ctypes.c_float) * len(names))(
+            *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for a in arrs])
+        rc = lib.pcss_exr_write(path.encode(), name_arr, ptr_arr, len(names),
+                                w, h, compression, pixel_type)
+        if rc == 0:
+            return
+        logging.warning("native EXR write failed (rc=%d); using python codec", rc)
+    exr_py.write_exr_py(path, channels, compression=compression,
+                        pixel_type=pixel_type)

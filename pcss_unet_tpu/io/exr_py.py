@@ -1,0 +1,233 @@
+"""Pure-Python OpenEXR 2.0 scanline codec (numpy + zlib).
+
+The reference reads G-buffer stacks through the third-party ``OpenEXR``/
+``Imath`` C++ bindings (setdata.py:42-58); those bindings are not on the TPU
+image, so the framework ships its own codec: this portable implementation
+plus a faster native C++ twin (``native/exr/exr_codec.cpp``, wrapped by
+``pcss_unet_tpu.io.exr``).  Both implement the subset the pipeline needs:
+
+- single-part scanline files, version 2
+- compression: NONE, ZIPS (1 line/chunk), ZIP (16 lines/chunk)
+- pixel types: HALF, FLOAT, UINT
+- INCREASING_Y line order
+
+ZIP chunks use OpenEXR's reorder+delta byte transform before deflate
+(see OpenEXR ImfZip.cpp semantics, re-derived here from the file format
+spec, not copied).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+MAGIC = 20000630
+PT_UINT, PT_HALF, PT_FLOAT = 0, 1, 2
+_DTYPES = {PT_UINT: np.dtype("<u4"), PT_HALF: np.dtype("<f2"),
+           PT_FLOAT: np.dtype("<f4")}
+COMP_NONE, COMP_RLE, COMP_ZIPS, COMP_ZIP, COMP_PIZ = 0, 1, 2, 3, 4
+_LINES_PER_CHUNK = {COMP_NONE: 1, COMP_ZIPS: 1, COMP_ZIP: 16}
+
+
+@dataclass
+class _Channel:
+    name: str
+    pixel_type: int
+    x_sampling: int = 1
+    y_sampling: int = 1
+
+
+def _read_cstr(buf: bytes, pos: int) -> tuple[str, int]:
+    end = buf.index(b"\x00", pos)
+    return buf[pos:end].decode("latin-1"), end + 1
+
+
+def _parse_chlist(data: bytes) -> list[_Channel]:
+    chans = []
+    pos = 0
+    while pos < len(data) and data[pos] != 0:
+        name, pos = _read_cstr(data, pos)
+        ptype, xs, ys = struct.unpack_from("<i4xii", data, pos)
+        pos += 16
+        chans.append(_Channel(name, ptype, xs, ys))
+    return chans
+
+
+def _zip_undo_transform(raw: bytearray) -> bytes:
+    """Invert OpenEXR's reorder+delta: delta-decode, then interleave the
+    two halves."""
+    arr = np.frombuffer(bytes(raw), np.uint8).astype(np.int32)
+    # delta decode: t[i] = t[i-1] + t[i] - 128 (mod 256)
+    deltas = (arr - 128) % 256
+    deltas[0] = arr[0]
+    decoded = np.cumsum(deltas).astype(np.uint8)
+    # de-interleave: first half = even output positions
+    n = decoded.size
+    half = (n + 1) // 2
+    out = np.empty(n, np.uint8)
+    out[0::2] = decoded[:half]
+    out[1::2] = decoded[half:]
+    return out.tobytes()
+
+
+def _zip_do_transform(data: bytes) -> bytes:
+    """Forward reorder+delta used before deflate when writing ZIP/ZIPS."""
+    arr = np.frombuffer(data, np.uint8)
+    n = arr.size
+    half = (n + 1) // 2
+    split = np.empty(n, np.uint8)
+    split[:half] = arr[0::2]
+    split[half:] = arr[1::2]
+    s32 = split.astype(np.int32)
+    deltas = np.empty(n, np.int32)
+    deltas[0] = s32[0]
+    deltas[1:] = (s32[1:] - s32[:-1] + 128) % 256
+    return deltas.astype(np.uint8).tobytes()
+
+
+class ExrFile:
+    """Parsed single-part scanline EXR."""
+
+    def __init__(self, data: bytes):
+        if struct.unpack_from("<i", data, 0)[0] != MAGIC:
+            raise ValueError("not an EXR file (bad magic)")
+        version = struct.unpack_from("<i", data, 4)[0]
+        if version & 0x200:
+            raise ValueError("multi-part EXR not supported")
+        if version & 0x800:
+            raise ValueError("deep-data EXR not supported")
+        pos = 8
+        self.attrs: dict[str, tuple[str, bytes]] = {}
+        while True:
+            name, pos = _read_cstr(data, pos)
+            if not name:
+                break
+            atype, pos = _read_cstr(data, pos)
+            size = struct.unpack_from("<i", data, pos)[0]
+            pos += 4
+            self.attrs[name] = (atype, data[pos:pos + size])
+            pos += size
+        self.channels = _parse_chlist(self.attrs["channels"][1])
+        self.compression = self.attrs["compression"][1][0]
+        if self.compression not in _LINES_PER_CHUNK:
+            raise ValueError(f"unsupported EXR compression {self.compression} "
+                             "(supported: NONE, ZIPS, ZIP)")
+        xmin, ymin, xmax, ymax = struct.unpack("<4i", self.attrs["dataWindow"][1])
+        self.width = xmax - xmin + 1
+        self.height = ymax - ymin + 1
+        self.y_min = ymin
+        lpc = _LINES_PER_CHUNK[self.compression]
+        n_chunks = (self.height + lpc - 1) // lpc
+        self._chunk_offsets = struct.unpack_from(f"<{n_chunks}q", data, pos)
+        self._data = data
+        self._lpc = lpc
+
+    def header(self) -> dict:
+        return {
+            "dataWindow": struct.unpack("<4i", self.attrs["dataWindow"][1]),
+            "channels": {c.name: c.pixel_type for c in self.channels},
+            "compression": self.compression,
+            "size": (self.height, self.width),
+        }
+
+    def read_channels(self, names: list[str]) -> dict[str, np.ndarray | None]:
+        """Decode the requested channels to float32 [H, W]; missing channels
+        map to None (caller decides defaults, mirroring setdata.py:64-67)."""
+        have = {c.name: c for c in self.channels}
+        out = {n: (np.empty((self.height, self.width), np.float32)
+                   if n in have else None) for n in names}
+        # channels are stored per scanline in chlist (alphabetical) order
+        row_nbytes = []
+        for ch in self.channels:
+            row_nbytes.append(self.width * _DTYPES[ch.pixel_type].itemsize)
+        data = self._data
+        for ci, off in enumerate(self._chunk_offsets):
+            y, size = struct.unpack_from("<ii", data, off)
+            payload = data[off + 8: off + 8 + size]
+            y0 = y - self.y_min
+            n_lines = min(self._lpc, self.height - y0)
+            raw_size = sum(row_nbytes) * n_lines
+            if self.compression == COMP_NONE or size >= raw_size:
+                raw = payload
+            else:
+                raw = _zip_undo_transform(bytearray(zlib.decompress(payload)))
+            pos = 0
+            for line in range(n_lines):
+                for ch, nb in zip(self.channels, row_nbytes):
+                    if ch.name in out and out[ch.name] is not None:
+                        row = np.frombuffer(raw, _DTYPES[ch.pixel_type],
+                                            count=self.width, offset=pos)
+                        out[ch.name][y0 + line] = row.astype(np.float32)
+                    pos += nb
+        return out
+
+
+def read_exr_channels_py(path: str, names: list[str]) -> dict[str, np.ndarray | None]:
+    with open(path, "rb") as f:
+        return ExrFile(f.read()).read_channels(names)
+
+
+def write_exr_py(path: str, channels: dict[str, np.ndarray],
+                 compression: int = COMP_ZIP, pixel_type: int = PT_FLOAT) -> None:
+    """Write a single-part scanline EXR (NONE/ZIPS/ZIP; HALF/FLOAT)."""
+    names = sorted(channels)  # chlist must be alphabetical
+    arrs = [np.asarray(channels[n]) for n in names]
+    h, w = arrs[0].shape
+    for a in arrs:
+        if a.shape != (h, w):
+            raise ValueError("all channels must share one shape")
+    dt = _DTYPES[pixel_type]
+    arrs = [np.ascontiguousarray(a.astype(dt)) for a in arrs]
+
+    def attr(name: str, atype: str, payload: bytes) -> bytes:
+        return (name.encode() + b"\x00" + atype.encode() + b"\x00"
+                + struct.pack("<i", len(payload)) + payload)
+
+    chlist = b""
+    for n in names:
+        chlist += n.encode() + b"\x00" + struct.pack("<i4xii", pixel_type, 1, 1)
+    chlist += b"\x00"
+    box = struct.pack("<4i", 0, 0, w - 1, h - 1)
+    header = (
+        attr("channels", "chlist", chlist)
+        + attr("compression", "compression", bytes([compression]))
+        + attr("dataWindow", "box2i", box)
+        + attr("displayWindow", "box2i", box)
+        + attr("lineOrder", "lineOrder", b"\x00")
+        + attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+        + attr("screenWindowCenter", "v2f", struct.pack("<2f", 0.0, 0.0))
+        + attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+        + b"\x00"
+    )
+    lpc = _LINES_PER_CHUNK[compression]
+    n_chunks = (h + lpc - 1) // lpc
+    chunks = []
+    for ci in range(n_chunks):
+        y0 = ci * lpc
+        n_lines = min(lpc, h - y0)
+        rows = b"".join(
+            arrs[k][y0 + line].tobytes()
+            for line in range(n_lines) for k in range(len(arrs))
+        )
+        if compression == COMP_NONE:
+            payload = rows
+        else:
+            comp = zlib.compress(_zip_do_transform(rows))
+            payload = comp if len(comp) < len(rows) else rows
+        chunks.append((y0, payload))
+    base = 8 + len(header) + 8 * n_chunks
+    offsets = []
+    pos = base
+    for y0, payload in chunks:
+        offsets.append(pos)
+        pos += 8 + len(payload)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", MAGIC, 2))
+        f.write(header)
+        f.write(struct.pack(f"<{n_chunks}q", *offsets))
+        for y0, payload in chunks:
+            f.write(struct.pack("<ii", y0, len(payload)))
+            f.write(payload)

@@ -1,0 +1,111 @@
+"""EXR codec tests: round-trips through every compression/pixel-type combo,
+native-vs-Python differential checks, and the reference channel contract
+(default alpha, NaN scrub — setdata.py:64-83)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pcss_unet_tpu.io import exr_py
+from pcss_unet_tpu.io.exr import (
+    COMP_NONE, COMP_ZIP, COMP_ZIPS, PT_FLOAT, PT_HALF,
+    _load_native, read_exr, read_exr_channels, read_exr_stack, write_exr,
+)
+
+
+@pytest.fixture(params=["python", "native"])
+def backend(request, monkeypatch):
+    if request.param == "native" and _load_native() is None:
+        pytest.skip("native EXR codec unavailable")
+    monkeypatch.setenv("PCSS_EXR_BACKEND", request.param)
+    return request.param
+
+
+@pytest.mark.parametrize("comp", [COMP_NONE, COMP_ZIPS, COMP_ZIP])
+def test_roundtrip_float(tmp_path, rng, backend, comp):
+    h, w = 37, 53  # odd sizes exercise partial ZIP chunks
+    chans = {n: rng.standard_normal((h, w)).astype(np.float32)
+             for n in ("R", "G", "B", "A")}
+    path = str(tmp_path / "t.exr")
+    write_exr(path, chans, compression=comp, pixel_type=PT_FLOAT)
+    out = read_exr_channels(path, ["R", "G", "B", "A"])
+    for n in chans:
+        np.testing.assert_array_equal(out[n], chans[n])
+
+
+def test_roundtrip_half(tmp_path, rng, backend):
+    h, w = 24, 32
+    chans = {"R": rng.uniform(-4, 4, (h, w)).astype(np.float32),
+             "G": np.zeros((h, w), np.float32)}
+    path = str(tmp_path / "h.exr")
+    write_exr(path, chans, compression=COMP_ZIP, pixel_type=PT_HALF)
+    out = read_exr_channels(path, ["R", "G"])
+    # half has ~3 decimal digits
+    np.testing.assert_allclose(out["R"], chans["R"], rtol=1e-2, atol=1e-3)
+    np.testing.assert_array_equal(out["G"], chans["G"])
+
+
+def test_native_reads_python_written(tmp_path, rng):
+    if _load_native() is None:
+        pytest.skip("native EXR codec unavailable")
+    chans = {n: rng.standard_normal((33, 41)).astype(np.float32)
+             for n in ("A", "B", "G", "R")}
+    p1 = str(tmp_path / "py.exr")
+    exr_py.write_exr_py(p1, chans, compression=COMP_ZIP)
+    os.environ["PCSS_EXR_BACKEND"] = "native"
+    try:
+        out = read_exr_channels(p1, list(chans))
+    finally:
+        os.environ.pop("PCSS_EXR_BACKEND")
+    for n in chans:
+        np.testing.assert_array_equal(out[n], chans[n])
+
+
+def test_python_reads_native_written(tmp_path, rng):
+    if _load_native() is None:
+        pytest.skip("native EXR codec unavailable")
+    chans = {n: rng.standard_normal((19, 65)).astype(np.float32)
+             for n in ("G", "R")}
+    path = str(tmp_path / "nat.exr")
+    write_exr(path, chans, compression=COMP_ZIPS)  # native writer
+    out = exr_py.read_exr_channels_py(path, ["R", "G"])
+    for n in chans:
+        np.testing.assert_array_equal(out[n], chans[n])
+
+
+def test_default_alpha_and_nan_scrub(tmp_path, rng, backend):
+    """Reference contract: missing A → ones (setdata.py:64-67); non-finite →
+    nan_to_num(nan=0, posinf=1, neginf=0) (setdata.py:81-83)."""
+    h, w = 16, 16
+    r = rng.standard_normal((h, w)).astype(np.float32)
+    r[0, 0] = np.nan
+    r[0, 1] = np.inf
+    r[0, 2] = -np.inf
+    chans = {"R": r, "G": np.zeros((h, w), np.float32),
+             "B": np.ones((h, w), np.float32)}
+    path = str(tmp_path / "noalpha.exr")
+    write_exr(path, chans, compression=COMP_ZIP)
+    planes = read_exr(path)
+    assert len(planes) == 4
+    np.testing.assert_array_equal(planes[3], np.ones((h, w), np.float32))
+    assert planes[0][0, 0] == 0.0 and planes[0][0, 1] == 1.0 and planes[0][0, 2] == 0.0
+    stack = read_exr_stack(path)
+    assert stack.shape == (h, w, 4)
+
+
+def test_missing_file_raises(backend):
+    with pytest.raises(IOError):
+        read_exr("/nonexistent/file.exr")
+
+
+def test_incompressible_chunk_stored_raw(tmp_path, backend):
+    """Chunks that inflate under deflate must be stored raw and read back."""
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 2**32, (17, 128), dtype=np.uint32)
+    chans = {"R": noise.view(np.float32).astype(np.float32)}
+    chans = {"R": rng.standard_normal((17, 128)).astype(np.float32)}
+    path = str(tmp_path / "raw.exr")
+    write_exr(path, chans, compression=COMP_ZIP)
+    out = read_exr_channels(path, ["R"])
+    np.testing.assert_array_equal(out["R"], chans["R"])
