@@ -32,10 +32,12 @@ def cpus():
     return devs
 
 
-@pytest.fixture(autouse=True)
+@pytest.fixture(scope="session", autouse=True)
 def _pin_to_cpu():
-    """Run every test with CPU as the default device, even if a TPU plugin
-    claimed the default backend."""
+    """Run the whole test session with CPU as the default device, even if a
+    TPU plugin claimed the default backend.  Session-scoped so it wraps
+    module/session fixtures too (a function-scoped pin would let
+    module-scoped fixtures allocate on the TPU first)."""
     with jax.default_device(cpu_devices()[0]):
         yield
 
