@@ -1,0 +1,159 @@
+"""Training loop — the ``train_model`` equivalent (main.py:132-581),
+restructured around one jitted step and a device mesh.
+
+What maps where:
+
+- epoch/batch loops, per-epoch validation, best-checkpoint logic
+  (main.py:225-561) → here, with Orbax + resume (superset: reference can't
+  resume, SURVEY.md §5)
+- AMP/GradScaler + gradient triage → inside the jitted step (train/step.py)
+- TB scalars/images (main.py:435-467) → train/metrics.py taxonomy
+- OOM retry loop (main.py:478-499) → no TPU equivalent by design: memory is
+  static under XLA; the analytic estimator lives in utils/memory.py and is
+  consulted up front like main.py:142-144
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+
+import jax
+
+from pcss_unet_tpu.data.pipeline import Loader, prefetch_to_device
+from pcss_unet_tpu.losses import LossBundle, PerceptualLoss
+from pcss_unet_tpu.parallel.mesh import (
+    batch_sharding, make_mesh, replicate_sharding,
+)
+from pcss_unet_tpu.train.checkpoint import CheckpointManagerWrapper
+from pcss_unet_tpu.train.metrics import (
+    log_image_grid, log_loss_scalars, make_writer,
+)
+from pcss_unet_tpu.train.schedule import warmup_cosine_schedule
+from pcss_unet_tpu.train.state import create_train_state
+from pcss_unet_tpu.train.step import build_eval_step, build_train_step
+
+
+@dataclass
+class FitResult:
+    state: object
+    best_val_loss: float
+    history: list = field(default_factory=list)
+
+
+def fit(cfg, model, train_loader: Loader, val_loader: Loader | None = None,
+        *, devices=None, log_every: int = 100, image_every: int = 100,
+        writer=None, checkpoint_dir: str | None = None) -> FitResult:
+    """Train ``model`` per ``cfg`` over the given loaders."""
+    mesh = make_mesh(cfg.data_parallel, cfg.spatial_parallel, devices)
+    steps_per_epoch = max(1, train_loader.batches_per_epoch())
+    ds = train_loader.ds
+    sample_hw = ds.sample_hw
+
+    state = create_train_state(
+        model, cfg, steps_per_epoch,
+        (train_loader.batch_size, *sample_hw, cfg.input_channels))
+
+    bundle = LossBundle(
+        perceptual=PerceptualLoss(cfg.vgg_weights_path or None,
+                                  grad=cfg.vgg_grad),
+        alpha=cfg.alpha,
+        perturb_weight=cfg.perturb_weight,
+        perturbation_count=cfg.perturbation_count,
+        high_freq_weight=cfg.high_freq_weight,
+        penumbra_weight=cfg.penumbra_weight,
+        sobel_weight=cfg.sobel_weight,
+    )
+    train_step = jax.jit(
+        build_train_step(cfg, bundle, ds.means, ds.stds, steps_per_epoch),
+        donate_argnums=(0,))
+    eval_step = jax.jit(build_eval_step(cfg, bundle, ds.means, ds.stds))
+    lr_fn = warmup_cosine_schedule(cfg.learning_rate, cfg.warmup_epochs,
+                                   cfg.num_epochs, steps_per_epoch,
+                                   cfg.lr_floor_fraction)
+
+    replicate = replicate_sharding(mesh)
+    shard = batch_sharding(mesh)
+    state = jax.device_put(state, replicate)
+
+    ckpt = None
+    start_epoch = 0
+    if checkpoint_dir or cfg.save_dir:
+        ckpt = CheckpointManagerWrapper(checkpoint_dir or cfg.save_dir,
+                                        max_to_keep=cfg.max_checkpoints_to_keep)
+        if cfg.resume and ckpt.latest_epoch() is not None:
+            state = ckpt.restore(state)
+            start_epoch = int(ckpt.latest_epoch()) + 1
+            logging.info("resumed from epoch %d (step %d)",
+                         start_epoch - 1, int(state.step))
+
+    writer = writer or make_writer(cfg.log_dir)
+    rng = jax.random.PRNGKey(cfg.seed)
+    best_val = float("inf")
+    history = []
+
+    def put(a):
+        return jax.device_put(a, shard)
+
+    for epoch in range(start_epoch, cfg.num_epochs):
+        epoch_t0 = time.time()
+        train_terms_acc: dict[str, float] = {}
+        n_batches = 0
+        for x, y in prefetch_to_device(train_loader.epoch(epoch),
+                                       device_put_fn=put):
+            state, metrics = train_step(state, x, y, rng)
+            n_batches += 1
+            step = int(state.step)
+            if step % log_every == 0:
+                metrics_host = jax.device_get(metrics)
+                log_loss_scalars(writer, "train_step", metrics_host, step)
+                writer.scalar("LR/learning_rate", float(lr_fn(step)), step)
+                writer.scalar("Grad/global_norm",
+                              float(metrics_host["grad_norm"]), step)
+            for k, v in jax.device_get(metrics).items():
+                train_terms_acc[k] = train_terms_acc.get(k, 0.0) + float(v)
+
+        train_avg = {k: v / max(1, n_batches)
+                     for k, v in train_terms_acc.items()}
+        log_loss_scalars(writer, "train", train_avg, epoch)
+
+        val_avg = None
+        if val_loader is not None and (epoch % cfg.validation_frequency == 0):
+            val_acc: dict[str, float] = {}
+            nv = 0
+            last = None
+            for x, y in val_loader.epoch(0):
+                xd, yd = put(x), put(y)
+                terms, out = eval_step(state, xd, yd)
+                last = (x, jax.device_get(out), y)
+                for k, v in jax.device_get(terms).items():
+                    val_acc[k] = val_acc.get(k, 0.0) + float(v)
+                nv += 1
+            if nv:
+                val_avg = {k: v / nv for k, v in val_acc.items()}
+                log_loss_scalars(writer, "val", val_avg, epoch)
+                if image_every and last is not None:
+                    log_image_grid(writer, last[0], last[1], last[2], epoch)
+
+        epoch_loss = (val_avg or train_avg).get("total_loss", float("inf"))
+        history.append({"epoch": epoch, "train": train_avg, "val": val_avg,
+                        "seconds": time.time() - epoch_t0})
+        logging.info(
+            "epoch %d/%d train %.5f%s (%.1fs, %d skipped)", epoch + 1,
+            cfg.num_epochs, train_avg.get("total_loss", float("nan")),
+            f" val {val_avg['total_loss']:.5f}" if val_avg else "",
+            time.time() - epoch_t0, int(jax.device_get(state.skipped_steps)))
+
+        if ckpt is not None:
+            is_best = epoch_loss < best_val
+            periodic = (epoch % max(1, cfg.save_frequency) == 0)
+            if is_best or periodic or epoch == cfg.num_epochs - 1:
+                key = "val_loss" if val_avg else "train_loss"
+                ckpt.save(state, {key: epoch_loss}, epoch)
+        best_val = min(best_val, epoch_loss)
+
+    if ckpt is not None:
+        ckpt.wait()
+    writer.flush()
+    return FitResult(state=state, best_val_loss=best_val, history=history)

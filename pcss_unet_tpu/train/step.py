@@ -1,0 +1,132 @@
+"""The jitted train/eval steps — the framework's hot loop.
+
+Everything the reference does per batch in Python (main.py:237-423: input
+NaN screen, AMP forward, loss, backward, 4 separate per-parameter gradient
+triage loops, dynamic clip, optimizer step) compiles here into ONE XLA
+computation:
+
+- input standardization fused on device ((x−μ)/(σ+1e-8), setdata.py:316 —
+  host-side in the reference)
+- bf16 forward via the model's compute dtype (AMP analogue of
+  main.py:257-259; bf16 needs no GradScaler, so the reference's loss-scaling
+  machinery at main.py:175, 361-397 has no TPU equivalent by design)
+- NaN/Inf gradient repair as ``optax.zero_nans`` in the optimizer chain
+  (replaces the in-place mean+noise/±10×max surgery at main.py:294-354)
+- dynamic global-norm clip (schedule of main.py:356-358)
+- non-finite-loss step skip: the whole update is selected away with
+  ``jnp.where``, preserving params/opt state, and a skip counter increments
+  (replaces the Python ``continue`` at main.py:240-246, 315-317)
+
+Multi-chip: the step is written sharding-agnostic.  Jitted over a mesh with
+the batch sharded on ('data','spatial'), XLA inserts the gradient psums and
+makes BatchNorm's batch-mean a *global* mean (sync-BN) automatically — the
+explicit-collective variant lives in parallel/dp.py for comparison.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pcss_unet_tpu.losses import LossBundle, enhanced_loss, standard_loss
+from pcss_unet_tpu.train.schedule import clip_norm_for_step
+from pcss_unet_tpu.train.state import TrainState
+
+
+def standardize(x: jax.Array, means: jax.Array, stds: jax.Array) -> jax.Array:
+    """Per-channel standardization with train-set stats (setdata.py:316)."""
+    return (x - means) / (stds + 1e-8)
+
+
+def _select_tree(pred, new_tree, old_tree):
+    return jax.tree.map(lambda n, o: jnp.where(pred, n, o), new_tree, old_tree)
+
+
+def build_train_step(cfg, bundle: LossBundle, means, stds,
+                     steps_per_epoch: int) -> Callable:
+    """→ ``train_step(state, x, y, rng) -> (state, metrics)`` (pure, jittable)."""
+    means = jnp.asarray(means, jnp.float32)
+    stds = jnp.asarray(stds, jnp.float32)
+    use_perturb = cfg.loss_type == "perturb"
+
+    def train_step(state: TrainState, x_raw, y, rng):
+        x = standardize(x_raw.astype(jnp.float32), means, stds)
+        y = y.astype(jnp.float32)
+        drop_rng, pert_rng, pert_drop_rng = jax.random.split(
+            jax.random.fold_in(rng, state.step), 3)
+
+        def loss_fn(params):
+            out, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, True, rngs={"dropout": drop_rng}, mutable=["batch_stats"])
+            if use_perturb:
+                def pert_apply(xp):
+                    # train-mode forward (dropout active, batch-stat BN), BN
+                    # updates discarded — pert_loss.py:78-81 semantics
+                    o, _ = state.apply_fn(
+                        {"params": params, "batch_stats": state.batch_stats},
+                        xp, True, rngs={"dropout": pert_drop_rng},
+                        mutable=["batch_stats"])
+                    return o
+                total, terms = enhanced_loss(bundle, pert_apply, pert_rng,
+                                             x, out, y, training=True)
+            else:
+                total, terms = standard_loss(bundle, out, y)
+            return total, (mutated["batch_stats"], terms)
+
+        (total, (new_stats, terms)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        # dynamic global-norm clip (main.py:356-358, 405)
+        gnorm = optax.global_norm(grads)
+        max_norm = clip_norm_for_step(state.step, steps_per_epoch,
+                                      cfg.num_epochs, cfg.grad_clip_norm,
+                                      cfg.grad_clip_decay)
+        scale = jnp.minimum(1.0, max_norm / (gnorm + 1e-6))
+        grads = jax.tree.map(lambda g: g * scale.astype(g.dtype), grads)
+
+        updates, new_opt_state = state.tx.update(grads, state.opt_state,
+                                                 state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        # skip-update guard: non-finite loss or gradient norm → keep state
+        ok = jnp.isfinite(total) & jnp.isfinite(gnorm)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=_select_tree(ok, new_params, state.params),
+            batch_stats=_select_tree(ok, new_stats, state.batch_stats),
+            opt_state=_select_tree(ok, new_opt_state, state.opt_state),
+            skipped_steps=state.skipped_steps + (1 - ok.astype(jnp.int32)),
+        )
+        metrics = {k: v for k, v in terms.items()}
+        metrics["grad_norm"] = gnorm
+        metrics["clip_max_norm"] = max_norm
+        metrics["skipped"] = 1 - ok.astype(jnp.int32)
+        return new_state, metrics
+
+    return train_step
+
+
+def build_eval_step(cfg, bundle: LossBundle, means, stds) -> Callable:
+    """Full-frame (non-tiled) validation step (main.py:583-664): eval-mode
+    forward + loss components.  Returns (metrics, output) so the loop can
+    log prediction imagery like the reference's TB image grids."""
+    means = jnp.asarray(means, jnp.float32)
+    stds = jnp.asarray(stds, jnp.float32)
+
+    def eval_step(state: TrainState, x_raw, y):
+        x = standardize(x_raw.astype(jnp.float32), means, stds)
+        y = y.astype(jnp.float32)
+        out = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, False)
+        total, terms = standard_loss(bundle, out, y)
+        # perturbation is a train-only term (pert_loss.py:149); reference
+        # validation reports it as 0
+        terms["perturbation_loss"] = jnp.float32(0.0)
+        return terms, out
+
+    return eval_step

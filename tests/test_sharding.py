@@ -1,0 +1,110 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh — the
+fake-backend pattern SURVEY.md §4 calls for (the reference has no
+parallelism at all, §2.12).
+
+Checks that the UNCHANGED train/eval steps jit over a (data × spatial) mesh
+with XLA inserting gradient psums, sync-BN reductions, and conv halo
+exchanges — and that sharded results numerically match single-device."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pcss_unet_tpu.config import Config
+from pcss_unet_tpu.losses import LossBundle, PerceptualLoss
+from pcss_unet_tpu.models import UNet
+from pcss_unet_tpu.parallel import batch_sharding, make_mesh, replicate_sharding
+from pcss_unet_tpu.train import build_eval_step, build_train_step, create_train_state
+
+
+def _setup(cfg):
+    model = UNet(encoder_widths=(8, 16), dtype=jnp.float32)
+    state = create_train_state(model, cfg, 4, (8, 32, 32, 4))
+    bundle = LossBundle(perceptual=PerceptualLoss(None, taps=(2,),
+                                                  tap_weights=(1.0,)))
+    means = np.zeros(4, np.float32)
+    stds = np.ones(4, np.float32)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 32, 32, 4)).astype(np.float32)
+    y = rng.random((8, 32, 32, 1)).astype(np.float32)
+    return model, state, bundle, means, stds, x, y
+
+
+def test_make_mesh_shapes(cpus):
+    mesh = make_mesh(-1, 2, devices=cpus)
+    assert mesh.shape == {"data": 4, "spatial": 2}
+    mesh1 = make_mesh(8, 1, devices=cpus)
+    assert mesh1.shape == {"data": 8, "spatial": 1}
+    with pytest.raises(ValueError):
+        make_mesh(16, 1, devices=cpus)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_sharded_train_step_matches_single_device(cpus, mesh_shape):
+    cfg = Config(batch_size=8, num_epochs=2, warmup_epochs=1,
+                 loss_type="standard", dropout_rate=0.0)  # dropout off →
+    # sharded RNG vs single-device RNG draws are identical under jit SPMD
+    model, state, bundle, means, stds, x, y = _setup(cfg)
+    step = build_train_step(cfg, bundle, means, stds, steps_per_epoch=4)
+    key = jax.random.PRNGKey(0)
+
+    # single device
+    s1, m1 = jax.jit(step)(state, jnp.asarray(x), jnp.asarray(y), key)
+
+    # sharded
+    mesh = make_mesh(*mesh_shape, devices=cpus)
+    shard = batch_sharding(mesh)
+    repl = replicate_sharding(mesh)
+    state_sh = jax.device_put(state, repl)
+    xs = jax.device_put(x, shard)
+    ys = jax.device_put(y, shard)
+    s8, m8 = jax.jit(step)(state_sh, xs, ys, jax.device_put(key, repl))
+
+    assert float(m8["total_loss"]) == pytest.approx(float(m1["total_loss"]),
+                                                    rel=1e-5)
+    for a, b in zip(jax.tree.leaves(jax.device_get(s1.params)),
+                    jax.tree.leaves(jax.device_get(s8.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+    # BN batch stats must be the GLOBAL batch stats (sync-BN), not per-shard
+    for a, b in zip(jax.tree.leaves(jax.device_get(s1.batch_stats)),
+                    jax.tree.leaves(jax.device_get(s8.batch_stats))):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_eval_step(cpus):
+    cfg = Config(batch_size=8, dropout_rate=0.0)
+    model, state, bundle, means, stds, x, y = _setup(cfg)
+    mesh = make_mesh(4, 2, devices=cpus)
+    state_sh = jax.device_put(state, replicate_sharding(mesh))
+    xs = jax.device_put(x, batch_sharding(mesh))
+    ys = jax.device_put(y, batch_sharding(mesh))
+    eval_fn = jax.jit(build_eval_step(cfg, bundle, means, stds))
+    terms, out = eval_fn(state_sh, xs, ys)
+    ref_terms, ref_out = eval_fn(state, jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=1e-5, atol=1e-6)
+    assert float(terms["total_loss"]) == pytest.approx(
+        float(ref_terms["total_loss"]), rel=1e-5)
+
+
+def test_spatial_only_sharding_full_frame(cpus):
+    """Spatial partitioning of a single large frame across all 8 devices —
+    the inference-scaling axis (SURVEY.md §2.12 SP row)."""
+    cfg = Config(dropout_rate=0.0)
+    model = UNet(encoder_widths=(8, 16), dtype=jnp.float32)
+    state = create_train_state(model, cfg, 4, (1, 128, 128, 4))
+    mesh = make_mesh(1, 8, devices=cpus)
+    x = np.random.default_rng(0).standard_normal((1, 128, 128, 4)).astype(np.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "spatial")))
+    state_sh = jax.device_put(state, replicate_sharding(mesh))
+
+    def fwd(s, xx):
+        return s.apply_fn({"params": s.params, "batch_stats": s.batch_stats},
+                          xx, False)
+
+    out = jax.jit(fwd)(state_sh, xs)
+    ref = jax.jit(fwd)(state, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
