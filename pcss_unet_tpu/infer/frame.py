@@ -1,0 +1,101 @@
+"""Batched full-frame inference.
+
+Reference inference paths: lean CLI (infer.py:22-85 — even-size fixup,
+fp16 autocast, ×255 PNG) and verbose CLI (inference.py:98-311 — reflection
+pad to ×16, NaN scrubbing, multi-format save).  Here both collapse into one
+engine:
+
+- static-shape discipline: frames are reflection-padded to ``pad_multiple``
+  (default 16, inference.py:154-163) *outside* jit, so each padded shape
+  compiles once and is cached — XLA-friendly, no dynamic shapes
+- bf16 weights/compute by default (the fp16-autocast analogue), fp32 opt-in
+- input standardization fused into the jitted forward when stats are given
+- NaN scrub on input and output (inference.py:171-173, 200-202)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_variables(path: str) -> dict:
+    """Load model variables from any supported checkpoint format:
+    Orbax directory (ours), ``.npz`` (reference-named export), or ``.pth``
+    (torch, both reference formats — infer.py:36-41)."""
+    import os
+
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            payload = ckptr.restore(os.path.abspath(path))
+        return {"params": payload["params"],
+                "batch_stats": payload.get("batch_stats", {})}
+    from pcss_unet_tpu.train.checkpoint import load_reference_checkpoint
+
+    return load_reference_checkpoint(path)
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int) -> tuple[np.ndarray, tuple]:
+    """Reflection-pad NHWC to the next multiple (inference.py:154-163);
+    returns (padded, (h, w)) for cropping back."""
+    n, h, w, c = x.shape
+    ph = (-h) % multiple
+    pw = (-w) % multiple
+    if ph or pw:
+        x = np.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+    return x, (h, w)
+
+
+class InferenceEngine:
+    """Holds variables + a shape-cached jitted forward.
+
+    ``engine(frames)`` with frames [B, H, W, 4] float32 → masks [B, H, W, 1]
+    float32 in [0, 1]."""
+
+    def __init__(self, model, variables: dict, *, means=None, stds=None,
+                 dtype=jnp.bfloat16, pad_multiple: int = 16,
+                 out_sharding=None):
+        try:
+            self.model = model.clone(dtype=dtype)
+        except Exception:  # noqa: BLE001 - fall back to the model as given
+            self.model = model
+        self.params = jax.tree.map(jnp.asarray, variables["params"])
+        self.batch_stats = jax.tree.map(jnp.asarray,
+                                        variables.get("batch_stats", {}))
+        self.means = None if means is None else jnp.asarray(means, jnp.float32)
+        self.stds = None if stds is None else jnp.asarray(stds, jnp.float32)
+        self.pad_multiple = pad_multiple
+        self.out_sharding = out_sharding
+        self._fwd = jax.jit(self._forward)
+
+    def _forward(self, params, batch_stats, x):
+        x = jnp.nan_to_num(x.astype(jnp.float32), nan=0.0, posinf=1.0,
+                           neginf=0.0)  # inference.py:171-173
+        if self.means is not None:
+            x = (x - self.means) / (self.stds + 1e-8)
+        out = self.model.apply({"params": params, "batch_stats": batch_stats},
+                               x, False)
+        out = jnp.nan_to_num(out.astype(jnp.float32), nan=0.0, posinf=1.0,
+                             neginf=0.0)  # inference.py:200-202
+        return jnp.clip(out, 0.0, 1.0)
+
+    def run_padded(self, frames) -> jax.Array:
+        """Forward on already-aligned frames (device array in, device array
+        out; no host sync) — the hot path for benchmarking/serving."""
+        return self._fwd(self.params, self.batch_stats, frames)
+
+    def __call__(self, frames: np.ndarray) -> np.ndarray:
+        frames = np.asarray(frames, np.float32)
+        squeeze = frames.ndim == 3
+        if squeeze:
+            frames = frames[None]
+        padded, (h, w) = pad_to_multiple(frames, self.pad_multiple)
+        out = self.run_padded(jnp.asarray(padded))
+        out = np.asarray(out)[:, :h, :w, :]
+        return out[0] if squeeze else out

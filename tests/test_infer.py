@@ -1,0 +1,108 @@
+"""Inference layer tests: engine padding/scrub semantics, spatial-sharded
+full frames, halo-tiled decomposition parity, consistency harness."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pcss_unet_tpu.infer import InferenceEngine, infer_sharded, infer_tiled
+from pcss_unet_tpu.infer.tiled import plan_tiles
+from pcss_unet_tpu.models import UNet
+from pcss_unet_tpu.parallel import make_mesh
+from pcss_unet_tpu.parity import compare_outputs, validate_train_infer_consistency
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = UNet(encoder_widths=(8, 16), dtype=jnp.float32, dropout_rate=0.0)
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key},
+                           jnp.zeros((1, 32, 32, 4)), True)
+    return model, {"params": variables["params"],
+                   "batch_stats": variables["batch_stats"]}
+
+
+def test_engine_odd_sizes(model_and_vars, rng):
+    """Arbitrary frame sizes: pad-to-16 then crop (inference.py:154-163)."""
+    model, variables = model_and_vars
+    engine = InferenceEngine(model, variables, dtype=jnp.float32)
+    frame = rng.standard_normal((37, 51, 4)).astype(np.float32)
+    out = engine(frame)
+    assert out.shape == (37, 51, 1)
+    assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_engine_scrubs_nan(model_and_vars, rng):
+    model, variables = model_and_vars
+    engine = InferenceEngine(model, variables, dtype=jnp.float32)
+    frame = rng.standard_normal((32, 32, 4)).astype(np.float32)
+    frame[0, 0, 0] = np.nan
+    frame[1, 1, 1] = np.inf
+    out = engine(frame)
+    assert np.isfinite(out).all()
+
+
+def test_engine_standardization(model_and_vars, rng):
+    model, variables = model_and_vars
+    means = np.array([1.0, 2.0, 3.0, 4.0], np.float32)
+    stds = np.array([0.5, 1.0, 1.5, 2.0], np.float32)
+    engine = InferenceEngine(model, variables, means=means, stds=stds,
+                             dtype=jnp.float32)
+    plain = InferenceEngine(model, variables, dtype=jnp.float32)
+    frame = rng.standard_normal((32, 32, 4)).astype(np.float32)
+    standardized_input = (frame - means) / (stds + 1e-8)
+    np.testing.assert_allclose(engine(frame), plain(standardized_input),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_matches_plain(model_and_vars, cpus, rng):
+    model, variables = model_and_vars
+    engine = InferenceEngine(model, variables, dtype=jnp.float32)
+    frames = rng.standard_normal((2, 64, 64, 4)).astype(np.float32)
+    plain = engine(frames)
+    mesh = make_mesh(2, 4, devices=cpus)
+    sharded = infer_sharded(engine, frames, mesh)
+    np.testing.assert_allclose(sharded, plain, rtol=1e-5, atol=1e-6)
+
+
+def test_plan_tiles_covers():
+    starts = plan_tiles(100, 40, 8)
+    covered = np.zeros(100, bool)
+    for s in starts:
+        covered[s:s + 40] = True
+    assert covered.all()
+    assert plan_tiles(30, 40, 8) == [0]
+
+
+def test_tiled_close_to_full(model_and_vars, rng):
+    """Halo-tiled output must be visually identical to the full-frame pass
+    (interior deviations only from receptive-field truncation at halos)."""
+    model, variables = model_and_vars
+    engine = InferenceEngine(model, variables, dtype=jnp.float32,
+                             pad_multiple=16)
+    frame = rng.standard_normal((96, 128, 4)).astype(np.float32)
+    full = engine(frame)
+    tiled = infer_tiled(engine, frame, tile=64, halo=16)
+    assert tiled.shape == full.shape
+    res = compare_outputs(tiled, full, psnr_pass=35.0)
+    assert res["verdict"] in ("exact", "pass"), res
+
+
+def test_train_infer_consistency(model_and_vars, rng):
+    """validate_consistency.py role: both pathways agree (MSE<1e-6 or
+    PSNR>50, validate_consistency.py:186-191)."""
+    model, variables = model_and_vars
+    frame = rng.standard_normal((48, 64, 4)).astype(np.float32)
+    res = validate_train_infer_consistency(model, variables, frame)
+    assert res["verdict"] in ("exact", "pass"), (res["mse"], res["psnr"])
+
+
+def test_bf16_engine_runs(model_and_vars, rng):
+    model, variables = model_and_vars
+    engine = InferenceEngine(model, variables, dtype=jnp.bfloat16)
+    frame = rng.standard_normal((32, 32, 4)).astype(np.float32)
+    out32 = InferenceEngine(model, variables, dtype=jnp.float32)(frame)
+    out16 = engine(frame)
+    res = compare_outputs(out16, out32, psnr_pass=30.0)
+    assert res["verdict"] in ("exact", "pass"), res
