@@ -44,6 +44,7 @@ from pcss_unet_tpu.ops import (
     resize_bilinear_align_corners,
     upsample2x_align_corners,
 )
+from pcss_unet_tpu.ops.resize import compose_resize_matrices, resize_with_matrices
 
 Dtype = Any
 
@@ -153,6 +154,10 @@ class UNet(nn.Module):
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
+    # Fold the head's upsample-2×-then-match-down resize pair
+    # (Unetmodel.py:140-141) into ONE contraction per axis — an exact
+    # composition of the two linear maps, ~6× fewer resize FLOPs at 1080p.
+    fold_head_resize: bool = True
 
     def _block(self, features, dropout, name, dilation=1):
         return ConvBlock(
@@ -211,11 +216,10 @@ class UNet(nn.Module):
 
         # --- decoder: upsample → conv block → additive skip ---
         for i, skip in enumerate(reversed(skips)):
-            x = upsample2x_align_corners(x.astype(jnp.float32)).astype(self.dtype)
+            x = upsample2x_align_corners(x)
             if x.shape[1:3] != skip.shape[1:3]:
                 # size re-match, reference Unetmodel.py:118-119
-                x = resize_bilinear_align_corners(
-                    x.astype(jnp.float32), skip.shape[1:3]).astype(self.dtype)
+                x = resize_bilinear_align_corners(x, skip.shape[1:3])
             x = self._block(skip.shape[-1], self.dropout_rate,
                             f"dec_{i}")(x, train=train)
             x = x + skip                          # additive merge, Unetmodel.py:125
@@ -225,10 +229,17 @@ class UNet(nn.Module):
         # re-matches back down to the unshuffled half resolution
         # (Unetmodel.py:140-141: up9 = up(merge8); _upsample_and_match(up9, x)
         # where x is the unshuffled input).  The up-then-down composition of
-        # align-corners resizes is NOT the identity, so we replicate both.
-        x = upsample2x_align_corners(x.astype(jnp.float32))
-        x = resize_bilinear_align_corners(
-            x, skips[0].shape[1:3]).astype(self.dtype)
+        # align-corners resizes is NOT the identity, so we replicate it —
+        # either folded into one exact contraction per axis, or literally.
+        hh, ww = x.shape[1], x.shape[2]
+        th, tw = skips[0].shape[1], skips[0].shape[2]
+        if self.fold_head_resize:
+            m_h, m_w = compose_resize_matrices((hh, hh * 2, th),
+                                               (ww, ww * 2, tw))
+            x = resize_with_matrices(x, m_h, m_w)
+        else:
+            x = upsample2x_align_corners(x)
+            x = resize_bilinear_align_corners(x, (th, tw))
         # final decoder block runs at half dropout, reference Unetmodel.py:61
         x = self._block(unshuffled_ch, self.dropout_rate / 2, "dec_final")(
             x, train=train)

@@ -8,9 +8,18 @@ implements half-pixel-center sampling, which differs from align-corners and
 breaks PSNR parity with torch checkpoints (SURVEY.md §7 hard-part 1), so we
 implement the align-corners sample grid directly.
 
-Implementation: separable 1-D lerp per axis via two gathers (``jnp.take``)
-and a fused multiply-add — O(HWC) bandwidth on the VPU, no MXU involvement,
-fully static shapes so XLA fuses it with neighbouring elementwise work.
+Two implementations, selected by ``method``:
+
+- ``matmul`` (default): each axis resize is a contraction with a precomputed
+  banded interpolation matrix (2 non-zeros per row), run on the MXU with
+  fp32 accumulation.  On TPU this is far faster than gathers — gathers
+  serialize on the VPU while the matrix form rides the systolic array — and
+  it makes *compositions* of resizes foldable (``compose_resize_matrices``).
+- ``gather``: two ``jnp.take``s + lerp per axis; bandwidth-bound reference
+  implementation.
+
+Both produce the align-corners sample grid exactly; parity with torch is
+pinned in tests/test_ops.py for each method.
 
 Layout: NHWC (TPU-native), resizing axes 1 (H) and 2 (W).
 """
@@ -21,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _axis_coords(in_size: int, out_size: int, dtype=jnp.float32):
@@ -36,10 +46,8 @@ def _axis_coords(in_size: int, out_size: int, dtype=jnp.float32):
     return lo, hi, frac
 
 
-def _resize_axis(x: jax.Array, axis: int, out_size: int) -> jax.Array:
+def _resize_axis_gather(x: jax.Array, axis: int, out_size: int) -> jax.Array:
     in_size = x.shape[axis]
-    if in_size == out_size:
-        return x
     lo, hi, frac = _axis_coords(in_size, out_size, jnp.float32)
     x_lo = jnp.take(x, lo, axis=axis)
     x_hi = jnp.take(x, hi, axis=axis)
@@ -49,22 +57,91 @@ def _resize_axis(x: jax.Array, axis: int, out_size: int) -> jax.Array:
     return x_lo + (x_hi - x_lo) * w
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def resize_bilinear_align_corners(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
-    """Resize NHWC ``x`` to spatial size ``out_hw`` with align-corners bilinear.
+@functools.lru_cache(maxsize=256)
+def interp_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """[out, in] align-corners interpolation matrix: row i has (1−f) at
+    ⌊c⌋ and f at ⌊c⌋+1 for c = i·(in−1)/(out−1).  float32, host-computed
+    once per shape and folded into the jitted graph as a constant."""
+    m = np.zeros((out_size, in_size), np.float32)
+    if out_size == 1:
+        m[0, 0] = 1.0
+        return m
+    coords = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    lo = np.clip(np.floor(coords), 0, in_size - 1).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    f = (coords - lo).astype(np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, lo), 1.0 - f)
+    np.add.at(m, (rows, hi), f)
+    return m
 
-    Matches ``F.interpolate(x, out_hw, mode='bilinear', align_corners=True)``
-    (reference Unetmodel.py:119) bit-for-bit in fp32 up to FMA ordering.
-    """
-    out_h, out_w = out_hw
-    x = _resize_axis(x, 1, out_h)
-    x = _resize_axis(x, 2, out_w)
+
+def compose_resize_matrices(sizes_h: tuple[int, ...],
+                            sizes_w: tuple[int, ...]) -> tuple[np.ndarray, np.ndarray]:
+    """Fold a chain of align-corners resizes into one matrix per axis.
+    ``sizes_h=(544, 1088, 544)`` means 544→1088→544; the returned [544,544]
+    matrix applies both in a single contraction (exact: composition of
+    linear maps)."""
+    def chain(sizes):
+        m = None
+        for a, b in zip(sizes[:-1], sizes[1:]):
+            step = interp_matrix(a, b)
+            m = step if m is None else step @ m
+        return np.eye(sizes[0], dtype=np.float32) if m is None else m
+    return chain(sizes_h), chain(sizes_w)
+
+
+def _apply_hw_matrices(x: jax.Array, m_h: np.ndarray | None,
+                       m_w: np.ndarray | None) -> jax.Array:
+    dtype = x.dtype
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    if m_h is not None and not _is_identity(m_h):
+        mh = jnp.asarray(m_h, dtype)
+        x = jnp.einsum("oh,nhwc->nowc", mh, x, precision=prec,
+                       preferred_element_type=jnp.float32).astype(dtype)
+    if m_w is not None and not _is_identity(m_w):
+        mw = jnp.asarray(m_w, dtype)
+        x = jnp.einsum("ow,nhwc->nhoc", mw, x, precision=prec,
+                       preferred_element_type=jnp.float32).astype(dtype)
     return x
 
 
-def upsample2x_align_corners(x: jax.Array) -> jax.Array:
+def _is_identity(m: np.ndarray) -> bool:
+    return m.shape[0] == m.shape[1] and np.array_equal(
+        m, np.eye(m.shape[0], dtype=m.dtype))
+
+
+def resize_with_matrices(x: jax.Array, m_h: np.ndarray,
+                         m_w: np.ndarray) -> jax.Array:
+    """Apply precomputed per-axis interpolation matrices (e.g. a folded
+    resize chain from ``compose_resize_matrices``)."""
+    return _apply_hw_matrices(x, m_h, m_w)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def resize_bilinear_align_corners(x: jax.Array, out_hw: tuple[int, int],
+                                  method: str = "matmul") -> jax.Array:
+    """Resize NHWC ``x`` to spatial size ``out_hw`` with align-corners
+    bilinear.  Matches ``F.interpolate(x, out_hw, mode='bilinear',
+    align_corners=True)`` (reference Unetmodel.py:119)."""
+    out_h, out_w = out_hw
+    n, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+    if method == "matmul":
+        m_h = interp_matrix(h, out_h) if h != out_h else None
+        m_w = interp_matrix(w, out_w) if w != out_w else None
+        return _apply_hw_matrices(x, m_h, m_w)
+    if h != out_h:
+        x = _resize_axis_gather(x, 1, out_h)
+    if w != out_w:
+        x = _resize_axis_gather(x, 2, out_w)
+    return x
+
+
+def upsample2x_align_corners(x: jax.Array, method: str = "matmul") -> jax.Array:
     """`nn.Upsample(scale_factor=2, mode='bilinear', align_corners=True)`
     (reference Unetmodel.py:51).  torch computes the output size as
     floor(in * 2), then samples with the align-corners grid."""
     n, h, w, c = x.shape
-    return resize_bilinear_align_corners(x, (h * 2, w * 2))
+    return resize_bilinear_align_corners(x, (h * 2, w * 2), method)

@@ -52,6 +52,7 @@ def test_shuffle_roundtrip(rng):
     np.testing.assert_array_equal(np.asarray(y), x)
 
 
+@pytest.mark.parametrize("method", ["matmul", "gather"])
 @pytest.mark.parametrize(
     "in_hw,out_hw",
     [((8, 8), (16, 16)),      # clean 2x (decoder upsample, Unetmodel.py:51)
@@ -60,13 +61,29 @@ def test_shuffle_roundtrip(rng):
      ((5, 5), (5, 5)),        # identity
      ((1, 4), (3, 8))],       # degenerate H=1
 )
-def test_resize_align_corners_matches_torch(rng, in_hw, out_hw):
+def test_resize_align_corners_matches_torch(rng, in_hw, out_hw, method):
     x = rng.standard_normal((2, *in_hw, 3)).astype(np.float32)
-    ours = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), out_hw))
+    ours = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), out_hw,
+                                                    method))
     ref = F.interpolate(
         torch.from_numpy(nchw(x)), size=out_hw, mode="bilinear", align_corners=True
     ).numpy()
     np.testing.assert_allclose(ours, nhwc(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_composed_resize_matches_sequential(rng):
+    """Folded up-2×-then-down chain ≡ running the two resizes separately
+    (the head fold of Unetmodel.py:140-141)."""
+    from pcss_unet_tpu.ops.resize import (
+        compose_resize_matrices, resize_with_matrices,
+    )
+    x = jnp.asarray(rng.standard_normal((1, 24, 40, 8)).astype(np.float32))
+    seq = resize_bilinear_align_corners(
+        resize_bilinear_align_corners(x, (48, 80)), (24, 40))
+    m_h, m_w = compose_resize_matrices((24, 48, 24), (40, 80, 40))
+    folded = resize_with_matrices(x, m_h, m_w)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(seq),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_upsample2x_matches_torch(rng):
