@@ -1,0 +1,106 @@
+"""Dataset QA CLI — the diagnostics layer (SURVEY.md §1 L6: check.py,
+check_channel_stats.py, test.py rolled into subcommands).
+
+    check channels  — every *_input.exr has the 4-channel contract (test.py:18-36)
+    check pair      — channel stats of one EXR/PNG pair (check.py:48-91)
+    check packs     — per-sample per-channel stats report of packed arrays
+                      (check_channel_stats.py:24-130)
+"""
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from pcss_unet_tpu.utils.logging import setup_logger
+
+
+def cmd_channels(args) -> int:
+    from pcss_unet_tpu.io.exr import read_exr_channels
+
+    bad = 0
+    total = 0
+    for root in args.dirs:
+        for fname in sorted(os.listdir(root)):
+            if not fname.endswith("_input.exr"):
+                continue
+            total += 1
+            path = os.path.join(root, fname)
+            try:
+                chans = read_exr_channels(path, ["R", "G", "B", "A"])
+                missing = [n for n in "RGB" if chans[n] is None]
+                if missing:
+                    print(f"FAIL {path}: missing {missing}")
+                    bad += 1
+                elif chans["A"] is None:
+                    print(f"WARN {path}: no alpha (default-ones will be used)")
+            except Exception as e:  # noqa: BLE001 - report-and-continue QA tool
+                print(f"FAIL {path}: {e}")
+                bad += 1
+    print(f"{total - bad}/{total} files satisfy the 4-channel contract")
+    return 1 if bad else 0
+
+
+def cmd_pair(args) -> int:
+    from pcss_unet_tpu.io.exr import read_exr
+    from pcss_unet_tpu.io.png import read_label_png
+
+    planes = read_exr(args.exr)
+    for name, arr in zip("RGBA", planes):
+        print(f"channel {name}: shape {arr.shape} min {arr.min():+.5f} "
+              f"max {arr.max():+.5f} mean {arr.mean():+.5f} std {arr.std():.5f}")
+    if args.png:
+        label = read_label_png(args.png)
+        print(f"label   : shape {label.shape} min {label.min():.5f} "
+              f"max {label.max():.5f} mean {label.mean():.5f} "
+              f"median {np.median(label):.5f}")
+    return 0
+
+
+def cmd_packs(args) -> int:
+    path = os.path.join(args.dataset_path, f"{args.split}_inputs.npy")
+    data = np.load(path, mmap_mode="r")
+    ch_axis = 1 if data.shape[1] <= 8 < data.shape[3] else 3
+    n = data.shape[0]
+    rows = []
+    for i in range(min(n, args.max_samples)):
+        sample = np.asarray(data[i], np.float64)
+        axes = tuple(a for a in range(3) if a != (ch_axis - 1))
+        rows.append({
+            "sample": i,
+            "min": sample.min(axis=axes).tolist(),
+            "max": sample.max(axis=axes).tolist(),
+            "mean": sample.mean(axis=axes).tolist(),
+            "std": sample.std(axis=axes).tolist(),
+        })
+        print(f"sample {i}: mean {np.round(rows[-1]['mean'], 4)} "
+              f"std {np.round(rows[-1]['std'], 4)}")
+    if args.report:
+        with open(args.report, "w") as f:
+            json.dump(rows, f, indent=2)
+        print(f"wrote report to {args.report}")
+    return 0
+
+
+def main(argv=None) -> None:
+    setup_logger()
+    p = argparse.ArgumentParser(description="Dataset QA diagnostics")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    c1 = sub.add_parser("channels", help="verify EXR 4-channel contract")
+    c1.add_argument("dirs", nargs="+")
+    c2 = sub.add_parser("pair", help="channel stats of one EXR/PNG pair")
+    c2.add_argument("--exr", required=True)
+    c2.add_argument("--png", default=None)
+    c3 = sub.add_parser("packs", help="per-sample stats of packed arrays")
+    c3.add_argument("--dataset_path", required=True)
+    c3.add_argument("--split", default="train")
+    c3.add_argument("--max_samples", type=int, default=16)
+    c3.add_argument("--report", default=None)
+    args = p.parse_args(argv)
+    raise SystemExit({"channels": cmd_channels, "pair": cmd_pair,
+                      "packs": cmd_packs}[args.cmd](args))
+
+
+if __name__ == "__main__":
+    main()

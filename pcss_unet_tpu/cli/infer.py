@@ -1,0 +1,67 @@
+"""Inference CLI (reference infer.py + inference.py roles).
+
+Reference flags preserved: ``--input x.exr --output y.png --weights ckpt``
+(infer.py:13-18).  Accepts Orbax checkpoint dirs, ``.npz`` exports, and
+reference ``.pth`` files (both formats, infer.py:36-41).  ``--save_format``
+L/RGB/RGBA mirrors inference.py:111-128; ``--tile``/``--halo`` engage the
+halo-tiled path; ``--stats_dir`` applies train-set standardization like the
+training pipeline."""
+
+import argparse
+import time
+
+from pcss_unet_tpu.config import load_config
+from pcss_unet_tpu.io.exr import read_exr_stack
+from pcss_unet_tpu.io.png import write_mask_png
+from pcss_unet_tpu.utils.logging import setup_logger
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="Shadow-mask inference on a "
+                                            "G-buffer EXR stack")
+    p.add_argument("--input", required=True, help="input .exr")
+    p.add_argument("--output", required=True, help="output .png")
+    p.add_argument("--weights", required=True,
+                   help="Orbax dir | .npz export | reference .pth")
+    p.add_argument("--config", default=None)
+    p.add_argument("--stats_dir", default=None,
+                   help="directory with train_stats.npy for standardization")
+    p.add_argument("--save_format", choices=["L", "RGB", "RGBA"], default="L")
+    p.add_argument("--dtype", choices=["bfloat16", "float32"],
+                   default="bfloat16")
+    p.add_argument("--tile", type=int, default=0,
+                   help=">0 → halo-tiled inference with this tile size")
+    p.add_argument("--halo", type=int, default=32)
+    args = p.parse_args(argv)
+    setup_logger()
+
+    import jax.numpy as jnp
+
+    from pcss_unet_tpu.data.stats import load_channel_stats
+    from pcss_unet_tpu.infer import InferenceEngine, infer_tiled, load_variables
+    from pcss_unet_tpu.models import unet_from_config
+
+    cfg = load_config(args.config)
+    model = unet_from_config(cfg)
+    variables = load_variables(args.weights)
+    means = stds = None
+    if args.stats_dir:
+        means, stds = load_channel_stats(args.stats_dir)
+    engine = InferenceEngine(model, variables, means=means, stds=stds,
+                             dtype=jnp.dtype(args.dtype),
+                             pad_multiple=cfg.pad_multiple)
+
+    frame = read_exr_stack(args.input)
+    t0 = time.perf_counter()
+    if args.tile > 0:
+        mask = infer_tiled(engine, frame, tile=args.tile, halo=args.halo)
+    else:
+        mask = engine(frame)
+    dt = time.perf_counter() - t0
+    write_mask_png(args.output, mask, mode=args.save_format)
+    print(f"wrote {args.output}  ({frame.shape[1]}x{frame.shape[0]}, "
+          f"{dt * 1e3:.1f} ms incl. compile)")
+
+
+if __name__ == "__main__":
+    main()

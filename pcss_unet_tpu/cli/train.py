@@ -1,0 +1,88 @@
+"""Training CLI (reference main.py role).
+
+Reference flags preserved: ``--loss_type {standard,perturb}``,
+``--perturb_weight`` (main.py:870-873), config via INI (main.py:875-885).
+Additional overrides are new framework surface.  ``--batch_size 0`` engages
+the memory governor's doubling search (main.py:766-780 role — and unlike
+the reference, the result is used)."""
+
+import argparse
+import logging
+
+from pcss_unet_tpu.config import load_config, save_config
+from pcss_unet_tpu.data.pipeline import Loader, PackedDataset
+from pcss_unet_tpu.models import unet_from_config
+from pcss_unet_tpu.train.loop import fit
+from pcss_unet_tpu.utils.logging import setup_logger
+from pcss_unet_tpu.utils.memory import find_optimal_batch_size, param_count
+from pcss_unet_tpu.utils.prng import set_seed
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="Train the shadow U-Net")
+    p.add_argument("--config", default="config.ini")
+    # reference CLI surface (main.py:870-873)
+    p.add_argument("--loss_type", choices=["standard", "perturb"], default=None)
+    p.add_argument("--perturb_weight", type=float, default=None)
+    # framework overrides
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="0 → auto (memory-governor doubling search)")
+    p.add_argument("--num_epochs", type=int, default=None)
+    p.add_argument("--learning_rate", type=float, default=None)
+    p.add_argument("--processed_data_dir", default=None)
+    p.add_argument("--save_dir", default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--no_shuffle", action="store_true",
+                   help="reference-parity mode: train without shuffling "
+                        "(the reference's default, main.py:850)")
+    p.add_argument("--no_resume", action="store_true")
+    p.add_argument("--data_parallel", type=int, default=None)
+    p.add_argument("--spatial_parallel", type=int, default=None)
+    args = p.parse_args(argv)
+
+    overrides = {k: v for k, v in vars(args).items()
+                 if k not in ("config", "no_shuffle", "no_resume")
+                 and v is not None}
+    cfg = load_config(args.config, overrides)
+    if args.no_shuffle:
+        cfg = cfg.replace(shuffle=False)
+    if args.no_resume:
+        cfg = cfg.replace(resume=False)
+
+    setup_logger(cfg.log_dir)
+    set_seed(cfg.seed)
+    model = unet_from_config(cfg)
+
+    train_ds = PackedDataset(cfg.processed_data_dir, "train")
+    try:
+        val_ds = PackedDataset(cfg.processed_data_dir, "val")
+    except FileNotFoundError:
+        logging.warning("no val pack found; training without validation "
+                        "(best checkpoint keyed on train loss, "
+                        "main.py:548-561 behavior)")
+        val_ds = None
+
+    if cfg.batch_size == 0:
+        import jax
+        import jax.numpy as jnp
+
+        key = jax.random.PRNGKey(0)
+        variables = model.init({"params": key, "dropout": key},
+                               jnp.zeros((1, 64, 64, 4), jnp.float32), True)
+        n = param_count(variables["params"])
+        h, w = train_ds.sample_hw
+        cfg = cfg.replace(batch_size=find_optimal_batch_size(
+            n, h, w, cfg.optimizer_type))
+        logging.info("auto-selected batch_size=%d", cfg.batch_size)
+
+    save_config(cfg, f"{cfg.save_dir}/resolved_config.json")
+    train_loader = Loader(train_ds, cfg.batch_size, shuffle=cfg.shuffle,
+                          seed=cfg.seed)
+    val_loader = (Loader(val_ds, cfg.batch_size, shuffle=False)
+                  if val_ds is not None else None)
+    result = fit(cfg, model, train_loader, val_loader)
+    logging.info("training done; best val loss %.6f", result.best_val_loss)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Consistency-validation CLI (reference validate_consistency.py role):
+run one checkpoint through the training-visualization pathway and the
+inference pathway, write both PNGs + a difference image, report MSE/PSNR
+with the reference verdict thresholds (validate_consistency.py:186-191)."""
+
+import argparse
+import os
+
+import numpy as np
+
+from pcss_unet_tpu.config import load_config
+from pcss_unet_tpu.utils.logging import setup_logger
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="Train-vs-infer output parity")
+    p.add_argument("--weights", required=True)
+    p.add_argument("--input", required=True, help="input .exr")
+    p.add_argument("--output_dir", default="./consistency_out")
+    p.add_argument("--config", default=None)
+    p.add_argument("--stats_dir", default=None)
+    args = p.parse_args(argv)
+    setup_logger()
+
+    from pcss_unet_tpu.data.stats import load_channel_stats
+    from pcss_unet_tpu.infer import load_variables
+    from pcss_unet_tpu.io.exr import read_exr_stack
+    from pcss_unet_tpu.io.png import write_mask_png
+    from pcss_unet_tpu.models import unet_from_config
+    from pcss_unet_tpu.parity import validate_train_infer_consistency
+
+    cfg = load_config(args.config)
+    model = unet_from_config(cfg)
+    variables = load_variables(args.weights)
+    means = stds = None
+    if args.stats_dir:
+        means, stds = load_channel_stats(args.stats_dir)
+    frame = read_exr_stack(args.input)
+    res = validate_train_infer_consistency(model, variables, frame,
+                                           means=means, stds=stds,
+                                           pad_multiple=cfg.pad_multiple)
+    os.makedirs(args.output_dir, exist_ok=True)
+    write_mask_png(os.path.join(args.output_dir, "train_pathway.png"),
+                   res["train_pathway"])
+    write_mask_png(os.path.join(args.output_dir, "infer_pathway.png"),
+                   res["infer_pathway"])
+    diff = np.abs(res["train_pathway"] - res["infer_pathway"])
+    write_mask_png(os.path.join(args.output_dir, "abs_diff.png"),
+                   diff / max(float(diff.max()), 1e-8))
+    print(f"MSE  = {res['mse']:.3e}")
+    print(f"PSNR = {res['psnr']:.2f} dB")
+    print(f"verdict: {res['verdict'].upper()}")
+
+
+if __name__ == "__main__":
+    main()

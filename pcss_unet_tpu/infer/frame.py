@@ -32,8 +32,25 @@ def load_variables(path: str) -> dict:
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
 
+        path = os.path.abspath(path)
+        # CheckpointManager step dirs keep the payload under the default
+        # item name; bare StandardCheckpointer dirs hold it directly
+        if os.path.isdir(os.path.join(path, "default")):
+            path = os.path.join(path, "default")
         with ocp.StandardCheckpointer() as ckptr:
-            payload = ckptr.restore(os.path.abspath(path))
+            # restore device-agnostic so checkpoints written on any mesh
+            # load on any machine: rebuild the template from metadata with
+            # a local single-device sharding, then pull to host
+            meta = ckptr.metadata(path)
+            tree = meta.item_metadata if hasattr(meta, "item_metadata") else meta
+            dev = jax.config.jax_default_device or jax.devices()[0]
+            sharding = jax.sharding.SingleDeviceSharding(dev)
+            template = jax.tree.map(
+                lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                               sharding=sharding)
+                if hasattr(m, "shape") else m, tree)
+            payload = ckptr.restore(path, target=template)
+        payload = jax.device_get(payload)
         return {"params": payload["params"],
                 "batch_stats": payload.get("batch_stats", {})}
     from pcss_unet_tpu.train.checkpoint import load_reference_checkpoint

@@ -22,9 +22,19 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _default_devices():
+    """Devices of the backend the session is pinned to: honors an active
+    ``jax.default_device`` (e.g. the test harness pins CPU while a TPU
+    plugin owns the default backend)."""
+    pinned = jax.config.jax_default_device
+    if pinned is not None:
+        return jax.devices(pinned.platform)
+    return jax.devices()
+
+
 def make_mesh(data_parallel: int = -1, spatial_parallel: int = 1,
               devices=None) -> Mesh:
-    devices = list(devices if devices is not None else jax.devices())
+    devices = list(devices if devices is not None else _default_devices())
     n = len(devices)
     if data_parallel == -1:
         if n % spatial_parallel:

@@ -46,7 +46,18 @@ def fit(cfg, model, train_loader: Loader, val_loader: Loader | None = None,
         *, devices=None, log_every: int = 100, image_every: int = 100,
         writer=None, checkpoint_dir: str | None = None) -> FitResult:
     """Train ``model`` per ``cfg`` over the given loaders."""
-    mesh = make_mesh(cfg.data_parallel, cfg.spatial_parallel, devices)
+    import math
+
+    from pcss_unet_tpu.parallel.mesh import _default_devices
+
+    devs = list(devices if devices is not None else _default_devices())
+    dp = cfg.data_parallel
+    if dp == -1:
+        # auto: the largest data axis that divides the batch and fits the
+        # device pool alongside the spatial axis
+        dp = math.gcd(train_loader.batch_size,
+                      len(devs) // cfg.spatial_parallel)
+    mesh = make_mesh(dp, cfg.spatial_parallel, devs)
     steps_per_epoch = max(1, train_loader.batches_per_epoch())
     ds = train_loader.ds
     sample_hw = ds.sample_hw

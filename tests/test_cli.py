@@ -1,0 +1,116 @@
+"""CLI integration test: the complete reference workflow end to end —
+organize → prepare → stats → train → infer → validate → check — on a tiny
+synthetic scene (SURVEY.md §1's artifact-contract chain, exercised through
+the same entry points the reference exposes)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pcss_unet_tpu.cli import check as cli_check
+from pcss_unet_tpu.cli import infer as cli_infer
+from pcss_unet_tpu.cli import organize as cli_organize
+from pcss_unet_tpu.cli import prepare as cli_prepare
+from pcss_unet_tpu.cli import stats as cli_stats
+from pcss_unet_tpu.cli import train as cli_train
+from pcss_unet_tpu.cli import validate as cli_validate
+from pcss_unet_tpu.io.exr import write_exr
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cliwork")
+    scene = root / "scene"
+    (scene / "conditioning_images").mkdir(parents=True)
+    (scene / "images").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(10):
+        chans = {n: rng.standard_normal((32, 32)).astype(np.float32)
+                 for n in "RGBA"}
+        write_exr(str(scene / "conditioning_images" / f"f{i:02d}.exr"), chans)
+        Image.fromarray((rng.random((32, 32)) * 255).astype(np.uint8),
+                        "L").save(scene / "images" / f"f{i:02d}.png")
+    ini = root / "tiny.ini"
+    ini.write_text(f"""[base]
+batch_size=4
+num_epochs=2
+learning_rate=0.002
+warmup_epochs=1
+model_depth=3
+base_width=8
+compute_dtype=float32
+save_dir={root}/ckpt
+processed_data_dir={root}/processed
+train_dir={root}/data/train
+val_dir={root}/data/val
+log_dir={root}/logs
+validation_frequency=1
+save_frequency=1
+""")
+    return root
+
+
+def test_cli_full_chain(workdir, capsys):
+    root = str(workdir)
+    # organize
+    cli_organize.main(["--scene_dir", f"{root}/scene",
+                       "--out_dir", f"{root}/data", "--seed", "1"])
+    assert os.path.isdir(f"{root}/data/train")
+    # check channels
+    with pytest.raises(SystemExit) as e:
+        cli_check.main(["channels", f"{root}/data/train"])
+    assert e.value.code == 0
+    # prepare
+    cli_prepare.main(["--config", f"{root}/tiny.ini"])
+    assert os.path.exists(f"{root}/processed/train_inputs.npy")
+    # stats
+    cli_stats.main(["--dataset_path", f"{root}/processed"])
+    assert os.path.exists(f"{root}/processed/train_stats.npy")
+    # check pair + packs
+    pair = [f for f in os.listdir(f"{root}/data/train")
+            if f.endswith("_input.exr")][0]
+    with pytest.raises(SystemExit) as e:
+        cli_check.main(["pair", "--exr", f"{root}/data/train/{pair}",
+                        "--png", f"{root}/data/train/"
+                                 f"{pair.replace('_input.exr', '_gt.png')}"])
+    assert e.value.code == 0
+    with pytest.raises(SystemExit) as e:
+        cli_check.main(["packs", "--dataset_path", f"{root}/processed",
+                        "--max_samples", "2",
+                        "--report", f"{root}/pack_report.json"])
+    assert e.value.code == 0
+    assert json.load(open(f"{root}/pack_report.json"))
+    # train 2 epochs
+    cli_train.main(["--config", f"{root}/tiny.ini"])
+    ckpts = os.listdir(f"{root}/ckpt")
+    assert any(c.isdigit() for c in ckpts), ckpts
+    best = sorted(int(c) for c in ckpts if c.isdigit())[-1]
+    # infer
+    cli_infer.main(["--input", f"{root}/data/train/{pair}",
+                    "--output", f"{root}/mask.png",
+                    "--weights", f"{root}/ckpt/{best}",
+                    "--config", f"{root}/tiny.ini",
+                    "--stats_dir", f"{root}/processed",
+                    "--dtype", "float32"])
+    assert os.path.exists(f"{root}/mask.png")
+    mask = np.asarray(Image.open(f"{root}/mask.png"))
+    assert mask.shape == (32, 32)
+    # tiled inference path
+    cli_infer.main(["--input", f"{root}/data/train/{pair}",
+                    "--output", f"{root}/mask_tiled.png",
+                    "--weights", f"{root}/ckpt/{best}",
+                    "--config", f"{root}/tiny.ini", "--tile", "16",
+                    "--halo", "4", "--dtype", "float32"])
+    assert os.path.exists(f"{root}/mask_tiled.png")
+    # consistency validation
+    cli_validate.main(["--weights", f"{root}/ckpt/{best}",
+                       "--input", f"{root}/data/train/{pair}",
+                       "--output_dir", f"{root}/consistency",
+                       "--config", f"{root}/tiny.ini",
+                       "--stats_dir", f"{root}/processed"])
+    out = capsys.readouterr().out
+    assert "verdict:" in out.lower()
+    assert "FAIL" not in out.split("verdict:")[-1]
