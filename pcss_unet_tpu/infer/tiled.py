@@ -45,13 +45,15 @@ def infer_sharded(engine: InferenceEngine, frames: np.ndarray, mesh) -> np.ndarr
 
 
 def _feather_weights(tile: int, halo: int, dtype=np.float32) -> np.ndarray:
-    """1-D feather: 1 in the interior, linear ramp over the halo edges.
-    Overlapping ramps of adjacent tiles sum to exactly 1."""
+    """1-D feather: 1 in the interior, linear ramp across the full overlap
+    region (2·halo) at each edge, so two adjacent tiles' ramps sum to
+    exactly 1 everywhere in their shared strip."""
     w = np.ones(tile, dtype)
-    if halo > 0:
-        ramp = (np.arange(1, halo + 1, dtype=dtype)) / (halo + 1)
-        w[:halo] = ramp
-        w[-halo:] = ramp[::-1]
+    ramp_len = min(2 * halo, tile // 2)
+    if ramp_len > 0:
+        ramp = (np.arange(1, ramp_len + 1, dtype=dtype)) / (ramp_len + 1)
+        w[:ramp_len] = ramp
+        w[-ramp_len:] = ramp[::-1]
     return w
 
 
@@ -88,21 +90,24 @@ def infer_tiled(engine: InferenceEngine, frame: np.ndarray,
     outs = engine.run_padded(jnp.asarray(tiles))          # [T, tile, tile, 1]
 
     # feathered accumulation (weights sum to 1 where tiles overlap exactly
-    # `overlap`; edge tiles keep full weight at the frame border)
+    # `overlap`; frame borders renormalize to 1 via the norm division)
     wy = _feather_weights(tile, halo)
     wx = _feather_weights(tile, halo)
     w2d = np.outer(wy, wx).astype(np.float32)[..., None]  # [tile, tile, 1]
-    # accumulate weighted tiles and normalize by the summed weights — this
-    # handles frame borders (no neighbour → weight renormalizes to 1) and
-    # makes interior overlaps exact
-    acc = np.zeros((fh, fw, 1), np.float32)
-    norm = np.zeros((fh, fw, 1), np.float32)
-    outs_np = np.asarray(outs)
-    t = 0
-    for y in ys:
-        for x in xs:
+    offsets = np.array([(y, x) for y in ys for x in xs], np.int32)
+    if blend == "host":
+        acc = np.zeros((fh, fw, 1), np.float32)
+        norm = np.zeros((fh, fw, 1), np.float32)
+        outs_np = np.asarray(outs)
+        for t, (y, x) in enumerate(offsets):
             acc[y:y + tile, x:x + tile] += outs_np[t] * w2d
             norm[y:y + tile, x:x + tile] += w2d
-            t += 1
-    out = acc / np.maximum(norm, 1e-8)
+        out = acc / np.maximum(norm, 1e-8)
+    else:
+        # device blend: jitted scan of dynamic-slice accumulates — no host
+        # round-trip between the batched forward and the blend
+        from pcss_unet_tpu.ops.pallas.blend import blend_tiles_device
+
+        out = np.asarray(blend_tiles_device(outs, jnp.asarray(w2d),
+                                            jnp.asarray(offsets), (fh, fw)))
     return out[:h, :w]
