@@ -1,0 +1,66 @@
+"""Explicit shard_map DP step ≡ automatic jit SPMD step — the two
+formulations of data parallelism must agree numerically (regression net for
+partitioner behavior)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from pcss_unet_tpu.config import Config
+from pcss_unet_tpu.losses import LossBundle, PerceptualLoss
+from pcss_unet_tpu.models import UNet
+from pcss_unet_tpu.parallel.dp import build_explicit_dp_train_step
+from pcss_unet_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_sharding
+from pcss_unet_tpu.train import build_train_step, create_train_state
+
+
+def test_explicit_dp_matches_auto(cpus):
+    cfg = Config(batch_size=8, num_epochs=2, warmup_epochs=1,
+                 dropout_rate=0.0)
+    bundle = LossBundle(perceptual=PerceptualLoss(None, taps=(2,),
+                                                  tap_weights=(1.0,)))
+    means = np.zeros(4, np.float32)
+    stds = np.ones(4, np.float32)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 32, 32, 4)).astype(np.float32)
+    y = rng.random((8, 32, 32, 1)).astype(np.float32)
+    key = jax.random.PRNGKey(7)
+
+    # auto path (axis-name-free model)
+    model_auto = UNet(encoder_widths=(8, 16), dtype=jnp.float32,
+                      dropout_rate=0.0)
+    state_auto = create_train_state(model_auto, cfg, 4, (8, 32, 32, 4))
+    auto_step = jax.jit(build_train_step(cfg, bundle, means, stds, 4))
+    s_a, m_a = auto_step(state_auto, jnp.asarray(x), jnp.asarray(y), key)
+
+    # explicit path (bn_axis_name='data' model, same params)
+    mesh = Mesh(np.array(cpus[:4]).reshape(4), ("data",))
+    model_exp = UNet(encoder_widths=(8, 16), dtype=jnp.float32,
+                     dropout_rate=0.0, bn_axis_name="data")
+    state_exp = create_train_state(model_exp, cfg, 4, (8, 32, 32, 4))
+    state_exp = state_exp.replace(params=state_auto.params,
+                                  batch_stats=state_auto.batch_stats,
+                                  opt_state=state_auto.opt_state)
+    exp_step = build_explicit_dp_train_step(cfg, bundle, means, stds, 4,
+                                            mesh, model_exp)
+    xs = jax.device_put(x, batch_sharding_1d(mesh))
+    ys = jax.device_put(y, batch_sharding_1d(mesh))
+    se = jax.device_put(state_exp, replicate_sharding(mesh))
+    s_e, m_e = exp_step(se, xs, ys, jax.device_put(key, replicate_sharding(mesh)))
+
+    assert float(m_e["total_loss"]) == pytest.approx(float(m_a["total_loss"]),
+                                                     rel=1e-5)
+    for a, b in zip(jax.tree.leaves(jax.device_get(s_a.params)),
+                    jax.tree.leaves(jax.device_get(s_e.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(jax.device_get(s_a.batch_stats)),
+                    jax.tree.leaves(jax.device_get(s_e.batch_stats))):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def batch_sharding_1d(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P("data"))
