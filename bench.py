@@ -24,19 +24,24 @@ def main() -> None:
     from pcss_unet_tpu.infer.frame import InferenceEngine
     from pcss_unet_tpu.models import UNet
 
-    model = UNet(dtype=jnp.bfloat16)
+    from pcss_unet_tpu.models.fold_bn import fold_batchnorm
+
+    model_bn = UNet(dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
-    variables = model.init({"params": key, "dropout": key},
-                           jnp.zeros((1, 64, 64, 4), jnp.float32), False)
-    params = variables["params"]
-    batch_stats = variables["batch_stats"]
+    variables = model_bn.init({"params": key, "dropout": key},
+                              jnp.zeros((1, 64, 64, 4), jnp.float32), False)
+    # deployment posture: BatchNorm folded into the convs (exact at eval)
+    folded = fold_batchnorm(dict(variables))
+    model = model_bn.clone(normalization="none")
+    params = folded["params"]
+    batch_stats = folded["batch_stats"]
 
     h, w = 1088, 1920  # 1080p padded to ×16
     rng = np.random.default_rng(0)
 
     best_fps = 0.0
     best_batch = 1
-    for batch, scan_len in ((1, 16), (4, 4)):
+    for batch, scan_len in ((1, 32), (4, 8)):
         try:
             # Streaming measurement: scan_len sequential forwards inside ONE
             # dispatch (server-style pipelining), each reduced to a scalar so

@@ -77,9 +77,18 @@ class InferenceEngine:
 
     def __init__(self, model, variables: dict, *, means=None, stds=None,
                  dtype=jnp.bfloat16, pad_multiple: int = 16,
-                 out_sharding=None, use_pallas: bool | None = None):
+                 out_sharding=None, use_pallas: bool | None = None,
+                 fold_bn: bool = False):
+        clone_kw: dict = {"dtype": dtype}
+        if fold_bn:
+            if getattr(model, "normalization", None) != "batch_norm":
+                raise ValueError("fold_bn requires a batch_norm model")
+            from pcss_unet_tpu.models.fold_bn import fold_batchnorm
+
+            variables = fold_batchnorm(variables)
+            clone_kw["normalization"] = "none"
         try:
-            self.model = model.clone(dtype=dtype)
+            self.model = model.clone(**clone_kw)
         except Exception:  # noqa: BLE001 - fall back to the model as given
             self.model = model
         self.params = jax.tree.map(jnp.asarray, variables["params"])

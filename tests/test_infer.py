@@ -98,6 +98,28 @@ def test_train_infer_consistency(model_and_vars, rng):
     assert res["verdict"] in ("exact", "pass"), (res["mse"], res["psnr"])
 
 
+def test_fold_bn_exact(model_and_vars, rng):
+    """BN folding is mathematically exact at inference (fold_bn.py)."""
+    model, variables = model_and_vars
+    frame = rng.standard_normal((48, 48, 4)).astype(np.float32)
+    plain = InferenceEngine(model, variables, dtype=jnp.float32)(frame)
+    folded = InferenceEngine(model, variables, dtype=jnp.float32,
+                             fold_bn=True)(frame)
+    res = compare_outputs(folded, plain)
+    assert res["verdict"] == "exact", res
+
+
+def test_fold_bn_u8_render(model_and_vars, rng):
+    model, variables = model_and_vars
+    engine = InferenceEngine(model, variables, dtype=jnp.float32,
+                             fold_bn=True)
+    frames = jnp.asarray(rng.standard_normal((1, 32, 32, 4)).astype(np.float32))
+    u8 = np.asarray(engine.render_u8(frames))
+    assert u8.dtype == np.uint8 and u8.shape == (1, 32, 32, 1)
+    ref = np.round(np.clip(np.asarray(engine.run_padded(frames)), 0, 1) * 255)
+    np.testing.assert_array_equal(u8, ref.astype(np.uint8))
+
+
 def test_bf16_engine_runs(model_and_vars, rng):
     model, variables = model_and_vars
     engine = InferenceEngine(model, variables, dtype=jnp.bfloat16)
