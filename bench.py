@@ -44,17 +44,19 @@ def main() -> None:
     for batch, scan_len in ((1, 32), (4, 8)):
         try:
             # Streaming measurement: scan_len sequential forwards inside ONE
-            # dispatch (server-style pipelining), each reduced to a scalar so
-            # nothing is dead-code-eliminated.  A bare per-call
+            # dispatch, each depending on the previous result (the +carry·ε
+            # term) so XLA can neither dead-code-eliminate nor hoist the
+            # loop-invariant forward out of the scan (LICM would otherwise
+            # turn this into a single-forward measurement).  A bare
             # block_until_ready can return early through remote-execution
             # relays; forcing the final scalar is reliable, and the fixed
             # dispatch overhead amortizes over scan_len * batch frames.
             @jax.jit
             def stream(p, s, x):
-                def body(acc, _):
-                    out = model.apply({"params": p, "batch_stats": s}, x,
-                                      False)
-                    return acc + jnp.mean(out.astype(jnp.float32)), None
+                def body(carry, _):
+                    out = model.apply({"params": p, "batch_stats": s},
+                                      x + carry * 1e-12, False)
+                    return jnp.mean(out.astype(jnp.float32)), None
                 acc, _ = jax.lax.scan(body, jnp.float32(0), None,
                                       length=scan_len)
                 return acc
