@@ -83,6 +83,8 @@ class Config:
     high_freq_weight: float = 0.0
     penumbra_weight: float = 0.0
     sobel_weight: float = 0.0
+    ssim_weight: float = 0.0      # 1−SSIM term; the reference carries this
+                                  # commented out (customLoss.py:187-191)
 
     # Model variants (paper Table 1: 3/5/7-layer depth study; paper.md:179-203)
     model_depth: int = 4                    # number of encoder levels incl. bottleneck

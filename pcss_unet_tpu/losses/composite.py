@@ -26,6 +26,7 @@ from pcss_unet_tpu.losses.extras import (
     high_freq_loss, penumbra_weighted_l1, sobel_gradient_loss,
 )
 from pcss_unet_tpu.losses.perturbation import perturbation_loss
+from pcss_unet_tpu.losses.ssim import ssim_loss
 from pcss_unet_tpu.losses.vgg import PerceptualLoss
 
 
@@ -40,6 +41,7 @@ class LossBundle:
     high_freq_weight: float = 0.0
     penumbra_weight: float = 0.0
     sobel_weight: float = 0.0
+    ssim_weight: float = 0.0
 
     def base_terms(self, output: jax.Array, target: jax.Array) -> dict:
         output = output.astype(jnp.float32)
@@ -54,6 +56,8 @@ class LossBundle:
             terms["penumbra_loss"] = penumbra_weighted_l1(output, target)
         if self.sobel_weight:
             terms["sobel_loss"] = sobel_gradient_loss(output, target)
+        if self.ssim_weight:
+            terms["ssim_loss"] = ssim_loss(output, target)
         return terms
 
     def _blend(self, terms: dict) -> jax.Array:
@@ -62,6 +66,7 @@ class LossBundle:
         total = total + self.high_freq_weight * terms.get("high_freq_loss", 0.0)
         total = total + self.penumbra_weight * terms.get("penumbra_loss", 0.0)
         total = total + self.sobel_weight * terms.get("sobel_loss", 0.0)
+        total = total + self.ssim_weight * terms.get("ssim_loss", 0.0)
         return total
 
 

@@ -75,6 +75,7 @@ def fit(cfg, model, train_loader: Loader, val_loader: Loader | None = None,
         high_freq_weight=cfg.high_freq_weight,
         penumbra_weight=cfg.penumbra_weight,
         sobel_weight=cfg.sobel_weight,
+        ssim_weight=cfg.ssim_weight,
     )
     train_step = jax.jit(
         build_train_step(cfg, bundle, ds.means, ds.stds, steps_per_epoch),
