@@ -55,6 +55,18 @@ def cmd_pair(args) -> int:
         print(f"label   : shape {label.shape} min {label.min():.5f} "
               f"max {label.max():.5f} mean {label.mean():.5f} "
               f"median {np.median(label):.5f}")
+        if args.compare_decodes:
+            # grayscale-convert vs RGB-mean label decoding A/B
+            # (reference check.py:149-204)
+            from PIL import Image
+
+            img = Image.open(args.png)
+            rgb = np.asarray(img.convert("RGB"), np.float32) / 255.0
+            rgb_mean = rgb.mean(axis=-1)
+            diff = np.abs(label - rgb_mean)
+            print(f"decode A/B: convert('L') vs RGB-mean — max diff "
+                  f"{diff.max():.6f}, mean diff {diff.mean():.6f} "
+                  f"({'identical' if diff.max() < 1e-6 else 'differs: L uses ITU-R 601 weights'})")
     return 0
 
 
@@ -80,6 +92,23 @@ def cmd_packs(args) -> int:
         with open(args.report, "w") as f:
             json.dump(rows, f, indent=2)
         print(f"wrote report to {args.report}")
+    if args.histogram:
+        # per-channel value distributions (check_channel_stats.py:132-149)
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        n_ch = data.shape[ch_axis]
+        fig, axes = plt.subplots(1, n_ch, figsize=(4 * n_ch, 3))
+        sample = np.asarray(data[: min(n, 16)], np.float32)
+        for c in range(n_ch):
+            vals = (sample[:, c] if ch_axis == 1 else sample[..., c]).ravel()
+            axes[c].hist(vals, bins=64)
+            axes[c].set_title(f"channel {c}")
+        fig.tight_layout()
+        fig.savefig(args.histogram, dpi=100)
+        print(f"wrote histograms to {args.histogram}")
     return 0
 
 
@@ -92,11 +121,16 @@ def main(argv=None) -> None:
     c2 = sub.add_parser("pair", help="channel stats of one EXR/PNG pair")
     c2.add_argument("--exr", required=True)
     c2.add_argument("--png", default=None)
+    c2.add_argument("--compare_decodes", action="store_true",
+                    help="A/B label decode methods (check.py:149-204)")
     c3 = sub.add_parser("packs", help="per-sample stats of packed arrays")
     c3.add_argument("--dataset_path", required=True)
     c3.add_argument("--split", default="train")
     c3.add_argument("--max_samples", type=int, default=16)
     c3.add_argument("--report", default=None)
+    c3.add_argument("--histogram", default=None,
+                    help="write per-channel histogram PNG here "
+                         "(check_channel_stats.py:132-149)")
     args = p.parse_args(argv)
     raise SystemExit({"channels": cmd_channels, "pair": cmd_pair,
                       "packs": cmd_packs}[args.cmd](args))

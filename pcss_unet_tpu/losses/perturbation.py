@@ -31,25 +31,45 @@ import jax.numpy as jnp
 
 
 def perturb_inputs(rng: jax.Array, inputs: jax.Array, count: int,
-                   std_factor: float = 0.01) -> jax.Array:
-    """→ [p, B, H, W, C] noisy copies with per-channel scaled noise."""
-    # Bessel-corrected std over the full per-channel tensor (torch .std())
-    ch_std = jnp.std(inputs.astype(jnp.float32), axis=(0, 1, 2), ddof=1)
+                   std_factor: float = 0.01,
+                   noise_mode: str = "channel_std") -> jax.Array:
+    """→ [p, B, H, W, C] noisy copies.
+
+    noise_mode:
+    - 'channel_std' (default): per-channel σ scaled by ``std_factor``
+      (pert_loss.py:40-56, Bessel-corrected like torch ``.std()``)
+    - 'fixed_eps': uniform ε=``std_factor`` noise with a [−10, 10] clamp —
+      the reference's *second, orphaned* EnhancedCustomLoss variant
+      (customLoss.py:223-231)
+    """
     noise = jax.random.normal(rng, (count, *inputs.shape), jnp.float32)
-    scaled = noise * ch_std * std_factor
-    return inputs[None].astype(jnp.float32) + scaled
+    if noise_mode == "channel_std":
+        ch_std = jnp.std(inputs.astype(jnp.float32), axis=(0, 1, 2), ddof=1)
+        return inputs[None].astype(jnp.float32) + noise * ch_std * std_factor
+    if noise_mode == "fixed_eps":
+        perturbed = inputs[None].astype(jnp.float32) + noise * std_factor
+        return jnp.clip(perturbed, -10.0, 10.0)  # customLoss.py:231
+    raise ValueError(f"unknown noise_mode: {noise_mode}")
 
 
 def perturbation_loss(apply_fn: Callable[[jax.Array], jax.Array],
                       rng: jax.Array, inputs: jax.Array,
                       original_output: jax.Array, count: int = 3,
-                      std_factor: float = 0.01) -> jax.Array:
-    """Mean L1 drift of the model under small input perturbations.
+                      std_factor: float = 0.01,
+                      noise_mode: str = "channel_std",
+                      metric: str = "l1") -> jax.Array:
+    """Mean drift of the model under small input perturbations.
 
     ``apply_fn``: x → model output (train-mode semantics, no state updates).
-    Gradients flow through ``original_output`` only (pert_loss.py:78-81)."""
-    perturbed = perturb_inputs(rng, inputs, count, std_factor)
+    Gradients flow through ``original_output`` only (pert_loss.py:78-81).
+    ``metric``: 'l1' (pert_loss.py:83-90) or 'mse' (the orphaned variant,
+    customLoss.py:238)."""
+    perturbed = perturb_inputs(rng, inputs, count, std_factor, noise_mode)
     outs = jax.vmap(apply_fn)(perturbed)          # [p, B, H, W, 1]
     outs = jax.lax.stop_gradient(outs)
-    diffs = jnp.abs(original_output[None].astype(jnp.float32) - outs)
-    return jnp.mean(diffs)
+    diffs = original_output[None].astype(jnp.float32) - outs
+    if metric == "l1":
+        return jnp.mean(jnp.abs(diffs))
+    if metric == "mse":
+        return jnp.mean(diffs ** 2)
+    raise ValueError(f"unknown metric: {metric}")

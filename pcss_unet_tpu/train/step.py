@@ -46,8 +46,14 @@ def _select_tree(pred, new_tree, old_tree):
 
 
 def build_train_step(cfg, bundle: LossBundle, means, stds,
-                     steps_per_epoch: int) -> Callable:
-    """→ ``train_step(state, x, y, rng) -> (state, metrics)`` (pure, jittable)."""
+                     steps_per_epoch: int,
+                     per_block_norms: bool = True) -> Callable:
+    """→ ``train_step(state, x, y, rng) -> (state, metrics)`` (pure, jittable).
+
+    ``per_block_norms`` adds a ``grad_norm/<block>`` metric per top-level
+    module — the jitted equivalent of the reference's per-module backward
+    hooks that log NaN/Inf and large-norm gradients (main.py:180-222),
+    without the hook storm on the host."""
     means = jnp.asarray(means, jnp.float32)
     stds = jnp.asarray(stds, jnp.float32)
     use_perturb = cfg.loss_type == "perturb"
@@ -105,6 +111,10 @@ def build_train_step(cfg, bundle: LossBundle, means, stds,
         metrics["grad_norm"] = gnorm
         metrics["clip_max_norm"] = max_norm
         metrics["skipped"] = 1 - ok.astype(jnp.int32)
+        if per_block_norms:
+            for block_name, block_grads in dict(grads).items():
+                metrics[f"grad_norm/{block_name}"] = optax.global_norm(
+                    block_grads)
         return new_state, metrics
 
     return train_step
