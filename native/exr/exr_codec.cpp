@@ -26,7 +26,7 @@ namespace {
 
 constexpr int32_t kMagic = 20000630;
 constexpr int PT_UINT = 0, PT_HALF = 1, PT_FLOAT = 2;
-constexpr int COMP_NONE = 0, COMP_ZIPS = 2, COMP_ZIP = 3;
+constexpr int COMP_NONE = 0, COMP_RLE = 1, COMP_ZIPS = 2, COMP_ZIP = 3;
 
 struct Channel {
   std::string name;
@@ -153,8 +153,9 @@ struct Reader {
     if (!have_channels || !have_dw || !have_comp)
       return fail("missing required header attribute");
     if (compression == COMP_ZIP) lines_per_chunk = 16;
-    else if (compression == COMP_NONE || compression == COMP_ZIPS) lines_per_chunk = 1;
-    else return fail("unsupported compression (supported: NONE, ZIPS, ZIP)");
+    else if (compression == COMP_NONE || compression == COMP_RLE ||
+             compression == COMP_ZIPS) lines_per_chunk = 1;
+    else return fail("unsupported compression (supported: NONE, RLE, ZIPS, ZIP)");
     width = xmax - xmin + 1;
     height = ymax - ymin + 1;
     if (width <= 0 || height <= 0) return fail("empty data window");
@@ -163,6 +164,31 @@ struct Reader {
     chunk_offsets.resize(n_chunks);
     std::memcpy(chunk_offsets.data(), data + pos, (size_t)n_chunks * 8);
     return true;
+  }
+
+  // EXR RLE decode: signed count byte; n<0 -> -n literals, n>=0 -> n+1
+  // repeats of the following byte.
+  static bool rle_decode(const uint8_t* src, size_t n, uint8_t* dst,
+                         size_t expected) {
+    size_t i = 0, o = 0;
+    while (i < n && o < expected) {
+      uint8_t count = src[i++];
+      if (count > 127) {
+        size_t run = 256 - (size_t)count;
+        if (i + run > n || o + run > expected) return false;
+        std::memcpy(dst + o, src + i, run);
+        i += run;
+        o += run;
+      } else {
+        if (i >= n) return false;
+        size_t run = (size_t)count + 1;
+        if (o + run > expected) return false;
+        std::memset(dst + o, src[i], run);
+        ++i;
+        o += run;
+      }
+    }
+    return o == expected;
   }
 
   // Undo OpenEXR's reorder+delta transform in place (scratch -> out).
@@ -217,6 +243,13 @@ struct Reader {
       const uint8_t* lines_ptr;
       if (compression == COMP_NONE || (size_t)csize >= raw_size) {
         lines_ptr = payload;  // stored raw (incompressible chunk)
+      } else if (compression == COMP_RLE) {
+        scratch.resize(raw_size);
+        if (!rle_decode(payload, csize, scratch.data(), raw_size)) {
+          error = "RLE decode failed"; return -1;
+        }
+        undo_zip_transform(scratch, raw);
+        lines_ptr = raw.data();
       } else {
         scratch.resize(raw_size);
         uLongf dlen = raw_size;
@@ -339,8 +372,8 @@ void pcss_exr_close(void* h) {
 int pcss_exr_write(const char* path, const char* const* names,
                    const float* const* chans, int n, int width, int height,
                    int compression, int pixel_type) {
-  if (compression != COMP_NONE && compression != COMP_ZIPS &&
-      compression != COMP_ZIP)
+  if (compression != COMP_NONE && compression != COMP_RLE &&
+      compression != COMP_ZIPS && compression != COMP_ZIP)
     return -1;
   if (pixel_type != PT_HALF && pixel_type != PT_FLOAT) return -1;
   int lpc = compression == COMP_ZIP ? 16 : 1;
@@ -403,6 +436,32 @@ int pcss_exr_write(const char* path, const char* const* names,
     }
     if (compression == COMP_NONE) {
       payloads[ci].assign((const char*)rows.data(), rows.size());
+    } else if (compression == COMP_RLE) {
+      do_zip_transform(rows.data(), rows.size(), transformed);
+      std::string enc;
+      enc.reserve(transformed.size());
+      size_t i = 0, n2 = transformed.size();
+      const uint8_t* d = transformed.data();
+      while (i < n2) {
+        size_t run = 1;
+        while (i + run < n2 && d[i + run] == d[i] && run < 127) ++run;
+        if (run >= 3) {
+          enc.push_back((char)(run - 1));
+          enc.push_back((char)d[i]);
+          i += run;
+        } else {
+          size_t start = i;
+          while (i < n2 && i - start < 127 &&
+                 !(i + 2 < n2 && d[i] == d[i + 1] && d[i] == d[i + 2]))
+            ++i;
+          enc.push_back((char)(256 - (i - start)));
+          enc.append((const char*)d + start, i - start);
+        }
+      }
+      if (enc.size() < rows.size())
+        payloads[ci] = enc;
+      else
+        payloads[ci].assign((const char*)rows.data(), rows.size());
     } else {
       do_zip_transform(rows.data(), rows.size(), transformed);
       uLongf clen = compressBound(transformed.size());

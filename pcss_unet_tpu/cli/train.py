@@ -38,10 +38,13 @@ def main(argv=None) -> None:
     p.add_argument("--no_resume", action="store_true")
     p.add_argument("--data_parallel", type=int, default=None)
     p.add_argument("--spatial_parallel", type=int, default=None)
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of the first steps")
     args = p.parse_args(argv)
 
     overrides = {k: v for k, v in vars(args).items()
-                 if k not in ("config", "no_shuffle", "no_resume")
+                 if k not in ("config", "no_shuffle", "no_resume",
+                              "profile_dir")
                  and v is not None}
     cfg = load_config(args.config, overrides)
     if args.no_shuffle:
@@ -80,7 +83,8 @@ def main(argv=None) -> None:
                           seed=cfg.seed)
     val_loader = (Loader(val_ds, cfg.batch_size, shuffle=False)
                   if val_ds is not None else None)
-    result = fit(cfg, model, train_loader, val_loader)
+    result = fit(cfg, model, train_loader, val_loader,
+                 profile_dir=args.profile_dir)
     logging.info("training done; best val loss %.6f", result.best_val_loss)
 
 

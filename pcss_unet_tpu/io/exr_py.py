@@ -7,7 +7,7 @@ plus a faster native C++ twin (``native/exr/exr_codec.cpp``, wrapped by
 ``pcss_unet_tpu.io.exr``).  Both implement the subset the pipeline needs:
 
 - single-part scanline files, version 2
-- compression: NONE, ZIPS (1 line/chunk), ZIP (16 lines/chunk)
+- compression: NONE, RLE, ZIPS (1 line/chunk), ZIP (16 lines/chunk)
 - pixel types: HALF, FLOAT, UINT
 - INCREASING_Y line order
 
@@ -29,7 +29,51 @@ PT_UINT, PT_HALF, PT_FLOAT = 0, 1, 2
 _DTYPES = {PT_UINT: np.dtype("<u4"), PT_HALF: np.dtype("<f2"),
            PT_FLOAT: np.dtype("<f4")}
 COMP_NONE, COMP_RLE, COMP_ZIPS, COMP_ZIP, COMP_PIZ = 0, 1, 2, 3, 4
-_LINES_PER_CHUNK = {COMP_NONE: 1, COMP_ZIPS: 1, COMP_ZIP: 16}
+_LINES_PER_CHUNK = {COMP_NONE: 1, COMP_RLE: 1, COMP_ZIPS: 1, COMP_ZIP: 16}
+
+
+def _rle_decompress(data: bytes, expected: int) -> bytes:
+    """EXR RLE: signed count byte; n<0 → −n literal bytes follow, n≥0 →
+    repeat the next byte n+1 times.  Applied to the reorder+delta stream
+    (same byte transform as ZIP)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expected:
+        count = data[i]
+        i += 1
+        if count > 127:          # signed negative: literal run
+            run = 256 - count
+            out += data[i:i + run]
+            i += run
+        else:                    # repeat run
+            out += data[i:i + 1] * (count + 1)
+            i += 1
+    return bytes(out)
+
+
+def _rle_compress(data: bytes) -> bytes:
+    """Greedy EXR RLE encoder (repeat runs ≥3, literal otherwise)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 127:
+            run += 1
+        if run >= 3:
+            out.append(run - 1)
+            out.append(data[i])
+            i += run
+        else:
+            start = i
+            while (i < n and i - start < 127
+                   and not (i + 2 < n and data[i] == data[i + 1] == data[i + 2])):
+                i += 1
+            length = i - start
+            out.append(256 - length)
+            out += data[start:i]
+    return bytes(out)
 
 
 @dataclass
@@ -152,6 +196,9 @@ class ExrFile:
             raw_size = sum(row_nbytes) * n_lines
             if self.compression == COMP_NONE or size >= raw_size:
                 raw = payload
+            elif self.compression == COMP_RLE:
+                raw = _zip_undo_transform(
+                    bytearray(_rle_decompress(payload, raw_size)))
             else:
                 raw = _zip_undo_transform(bytearray(zlib.decompress(payload)))
             pos = 0
@@ -214,6 +261,9 @@ def write_exr_py(path: str, channels: dict[str, np.ndarray],
         )
         if compression == COMP_NONE:
             payload = rows
+        elif compression == COMP_RLE:
+            comp = _rle_compress(_zip_do_transform(rows))
+            payload = comp if len(comp) < len(rows) else rows
         else:
             comp = zlib.compress(_zip_do_transform(rows))
             payload = comp if len(comp) < len(rows) else rows

@@ -44,11 +44,40 @@ class FitResult:
 
 def fit(cfg, model, train_loader: Loader, val_loader: Loader | None = None,
         *, devices=None, log_every: int = 100, image_every: int = 100,
-        writer=None, checkpoint_dir: str | None = None) -> FitResult:
-    """Train ``model`` per ``cfg`` over the given loaders."""
+        writer=None, checkpoint_dir: str | None = None,
+        profile_dir: str | None = None,
+        install_preemption_handler: bool = True) -> FitResult:
+    """Train ``model`` per ``cfg`` over the given loaders.
+
+    ``profile_dir``: capture a jax.profiler trace of epoch 0's first batches
+    (the tracing subsystem the reference lacks, SURVEY.md §5).
+    ``install_preemption_handler``: on SIGTERM/SIGINT, finish the current
+    step, save a checkpoint, and exit cleanly — preemptible-slice etiquette
+    (the reference's closest analogue is a KeyboardInterrupt print,
+    main.py:575-576; combined with resume this gives elastic restarts)."""
     import math
 
     from pcss_unet_tpu.parallel.mesh import _default_devices
+
+    # Install the preemption handler FIRST so a signal during the (long)
+    # init/compile phase is still caught.
+    stop_requested = []
+    prev_handlers = {}
+    if install_preemption_handler:
+        import signal
+
+        def _on_signal(signum, frame):  # noqa: ARG001
+            logging.warning("signal %d received: will checkpoint and stop "
+                            "after the current step", signum)
+            stop_requested.append(signum)
+
+        try:
+            prev_handlers = {
+                s: signal.signal(s, _on_signal)
+                for s in (signal.SIGTERM, signal.SIGINT)
+            }
+        except ValueError:  # not the main thread
+            prev_handlers = {}
 
     devs = list(devices if devices is not None else _default_devices())
     dp = cfg.data_parallel
@@ -108,6 +137,11 @@ def fit(cfg, model, train_loader: Loader, val_loader: Loader | None = None,
     def put(a):
         return jax.device_put(a, shard)
 
+    profiling = False
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+        profiling = True
+
     for epoch in range(start_epoch, cfg.num_epochs):
         epoch_t0 = time.time()
         train_terms_acc: dict[str, float] = {}
@@ -117,6 +151,12 @@ def fit(cfg, model, train_loader: Loader, val_loader: Loader | None = None,
             state, metrics = train_step(state, x, y, rng)
             n_batches += 1
             step = int(state.step)
+            if profiling and n_batches >= 4:
+                jax.profiler.stop_trace()
+                profiling = False
+                logging.info("wrote profiler trace to %s", profile_dir)
+            if stop_requested:
+                break
             if step % log_every == 0:
                 metrics_host = jax.device_get(metrics)
                 log_loss_scalars(writer, "train_step", metrics_host, step)
@@ -160,11 +200,23 @@ def fit(cfg, model, train_loader: Loader, val_loader: Loader | None = None,
         if ckpt is not None:
             is_best = epoch_loss < best_val
             periodic = (epoch % max(1, cfg.save_frequency) == 0)
-            if is_best or periodic or epoch == cfg.num_epochs - 1:
+            if (is_best or periodic or stop_requested
+                    or epoch == cfg.num_epochs - 1):
                 key = "val_loss" if val_avg else "train_loss"
                 ckpt.save(state, {key: epoch_loss}, epoch)
         best_val = min(best_val, epoch_loss)
+        if stop_requested:
+            logging.warning("stopping at epoch %d on signal; checkpoint "
+                            "saved — rerun to resume", epoch)
+            break
 
+    if profiling:
+        jax.profiler.stop_trace()
+    if install_preemption_handler:
+        import signal
+
+        for s, h in prev_handlers.items():
+            signal.signal(s, h)
     if ckpt is not None:
         ckpt.wait()
     writer.flush()

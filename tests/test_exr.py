@@ -22,7 +22,10 @@ def backend(request, monkeypatch):
     return request.param
 
 
-@pytest.mark.parametrize("comp", [COMP_NONE, COMP_ZIPS, COMP_ZIP])
+COMP_RLE = exr_py.COMP_RLE
+
+
+@pytest.mark.parametrize("comp", [COMP_NONE, COMP_RLE, COMP_ZIPS, COMP_ZIP])
 def test_roundtrip_float(tmp_path, rng, backend, comp):
     h, w = 37, 53  # odd sizes exercise partial ZIP chunks
     chans = {n: rng.standard_normal((h, w)).astype(np.float32)
@@ -97,6 +100,30 @@ def test_default_alpha_and_nan_scrub(tmp_path, rng, backend):
 def test_missing_file_raises(backend):
     with pytest.raises(IOError):
         read_exr("/nonexistent/file.exr")
+
+
+def test_rle_cross_backend(tmp_path, rng):
+    """RLE chunks written by each codec read back by the other (compressible
+    content so the RLE path actually engages)."""
+    if _load_native() is None:
+        pytest.skip("native EXR codec unavailable")
+    base = np.repeat(rng.standard_normal((8, 16)).astype(np.float32), 4,
+                     axis=1)  # repeated columns → RLE-friendly bytes
+    chans = {"G": base, "R": np.zeros_like(base)}
+    p_native = str(tmp_path / "nat.exr")
+    write_exr(p_native, chans, compression=COMP_RLE)  # native writer
+    out = exr_py.read_exr_channels_py(p_native, ["R", "G"])
+    for n in chans:
+        np.testing.assert_array_equal(out[n], chans[n])
+    p_py = str(tmp_path / "py.exr")
+    exr_py.write_exr_py(p_py, chans, compression=COMP_RLE)
+    os.environ["PCSS_EXR_BACKEND"] = "native"
+    try:
+        out2 = read_exr_channels(p_py, ["R", "G"])
+    finally:
+        os.environ.pop("PCSS_EXR_BACKEND")
+    for n in chans:
+        np.testing.assert_array_equal(out2[n], chans[n])
 
 
 def test_incompressible_chunk_stored_raw(tmp_path, backend):
