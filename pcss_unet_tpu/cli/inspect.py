@@ -7,9 +7,6 @@ timing analysis (paper.md:139-147), all runnable:
 """
 
 import argparse
-import json
-
-import numpy as np
 
 from pcss_unet_tpu.config import load_config
 from pcss_unet_tpu.utils.logging import setup_logger

@@ -17,7 +17,6 @@ changes or a single relayout copy; no Pallas needed.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def pixel_unshuffle_nhwc(x: jax.Array, r: int = 2) -> jax.Array:

@@ -9,7 +9,6 @@ inference.py:154-163)."""
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def avg_pool_2x(x: jax.Array) -> jax.Array:

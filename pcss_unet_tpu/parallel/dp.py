@@ -18,13 +18,12 @@ Reference equivalence: none — the reference is strictly single-GPU
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from pcss_unet_tpu.losses import LossBundle, standard_loss
 from pcss_unet_tpu.train.schedule import clip_norm_for_step
