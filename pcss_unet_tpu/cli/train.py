@@ -40,11 +40,22 @@ def main(argv=None) -> None:
     p.add_argument("--spatial_parallel", type=int, default=None)
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace of the first steps")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed for multi-host slices")
+    p.add_argument("--grain", action="store_true",
+                   help="use the Grain-backed input pipeline")
+    p.add_argument("--grain_workers", type=int, default=0)
     args = p.parse_args(argv)
+
+    if args.multihost:
+        from pcss_unet_tpu.utils.distributed import initialize_multihost
+
+        initialize_multihost()
 
     overrides = {k: v for k, v in vars(args).items()
                  if k not in ("config", "no_shuffle", "no_resume",
-                              "profile_dir")
+                              "profile_dir", "multihost", "grain",
+                              "grain_workers")
                  and v is not None}
     cfg = load_config(args.config, overrides)
     if args.no_shuffle:
@@ -79,9 +90,21 @@ def main(argv=None) -> None:
         logging.info("auto-selected batch_size=%d", cfg.batch_size)
 
     save_config(cfg, f"{cfg.save_dir}/resolved_config.json")
-    train_loader = Loader(train_ds, cfg.batch_size, shuffle=cfg.shuffle,
-                          seed=cfg.seed)
-    val_loader = (Loader(val_ds, cfg.batch_size, shuffle=False)
+    shard_kw = {}
+    if args.multihost:
+        from pcss_unet_tpu.utils.distributed import host_shard_args
+
+        shard_kw = host_shard_args()
+    if args.grain:
+        from pcss_unet_tpu.data.grain_pipeline import GrainLoader
+
+        train_loader = GrainLoader(train_ds, cfg.batch_size,
+                                   shuffle=cfg.shuffle, seed=cfg.seed,
+                                   read_workers=args.grain_workers, **shard_kw)
+    else:
+        train_loader = Loader(train_ds, cfg.batch_size, shuffle=cfg.shuffle,
+                              seed=cfg.seed, **shard_kw)
+    val_loader = (Loader(val_ds, cfg.batch_size, shuffle=False, **shard_kw)
                   if val_ds is not None else None)
     result = fit(cfg, model, train_loader, val_loader,
                  profile_dir=args.profile_dir)
