@@ -75,8 +75,7 @@ class InferenceEngine:
 
     def __init__(self, model, variables: dict, *, means=None, stds=None,
                  dtype=jnp.bfloat16, pad_multiple: int = 16,
-                 out_sharding=None, use_pallas: bool | None = None,
-                 fold_bn: bool = False):
+                 use_pallas: bool | None = None, fold_bn: bool = False):
         clone_kw: dict = {"dtype": dtype}
         if fold_bn:
             if getattr(model, "normalization", None) != "batch_norm":
@@ -95,7 +94,6 @@ class InferenceEngine:
         self.means = None if means is None else jnp.asarray(means, jnp.float32)
         self.stds = None if stds is None else jnp.asarray(stds, jnp.float32)
         self.pad_multiple = pad_multiple
-        self.out_sharding = out_sharding
         if use_pallas is None:
             from pcss_unet_tpu.ops.pallas import pallas_available
 
