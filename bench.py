@@ -41,7 +41,7 @@ def main() -> None:
 
     best_fps = 0.0
     best_batch = 1
-    for batch, scan_len in ((1, 32), (4, 8)):
+    for batch, scan_len in ((1, 32), (2, 16), (4, 8)):
         try:
             # Streaming measurement: scan_len sequential forwards inside ONE
             # dispatch, each depending on the previous result (the +carry·ε
