@@ -107,8 +107,11 @@ struct Reader {
     std::memcpy(&magic, data, 4);
     std::memcpy(&version, data + 4, 4);
     if (magic != kMagic) return fail("bad magic (not an EXR file)");
-    if (version & 0x200) return fail("multi-part EXR not supported");
+    // version flags: 0x200 tiled, 0x400 long names (ok), 0x800 deep,
+    // 0x1000 multi-part
+    if (version & 0x200) return fail("tiled EXR not supported (scanline only)");
     if (version & 0x800) return fail("deep-data EXR not supported");
+    if (version & 0x1000) return fail("multi-part EXR not supported");
     size_t pos = 8;
     bool have_channels = false, have_dw = false, have_comp = false;
     while (true) {

@@ -139,10 +139,14 @@ class ExrFile:
         if struct.unpack_from("<i", data, 0)[0] != MAGIC:
             raise ValueError("not an EXR file (bad magic)")
         version = struct.unpack_from("<i", data, 4)[0]
+        # version-field flags: 0x200 tiled, 0x400 long names (harmless),
+        # 0x800 deep data, 0x1000 multi-part
         if version & 0x200:
-            raise ValueError("multi-part EXR not supported")
+            raise ValueError("tiled EXR not supported (scanline only)")
         if version & 0x800:
             raise ValueError("deep-data EXR not supported")
+        if version & 0x1000:
+            raise ValueError("multi-part EXR not supported")
         pos = 8
         self.attrs: dict[str, tuple[str, bytes]] = {}
         while True:
