@@ -102,8 +102,10 @@ def main(argv=None) -> None:
                                    shuffle=cfg.shuffle, seed=cfg.seed,
                                    read_workers=args.grain_workers, **shard_kw)
     else:
+        crop = ((cfg.crop_height, cfg.crop_width)
+                if cfg.crop_height and cfg.crop_width else None)
         train_loader = Loader(train_ds, cfg.batch_size, shuffle=cfg.shuffle,
-                              seed=cfg.seed, **shard_kw)
+                              seed=cfg.seed, crop_hw=crop, **shard_kw)
     val_loader = (Loader(val_ds, cfg.batch_size, shuffle=False, **shard_kw)
                   if val_ds is not None else None)
     result = fit(cfg, model, train_loader, val_loader,

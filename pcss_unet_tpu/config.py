@@ -93,6 +93,11 @@ class Config:
                                             # dilation (Unetmodel.py:18-26); True
                                             # actually dilates encoder 3x3 convs
 
+    # Training crops (BASELINE config 1: random 256x256 crops of full
+    # frames); 0 disables (full frames, the reference behavior)
+    crop_height: int = 0
+    crop_width: int = 0
+
     # Parallelism / inference
     data_parallel: int = -1                 # -1 → all devices on the 'data' axis
     spatial_parallel: int = 1               # mesh 'spatial' axis for sharded frames

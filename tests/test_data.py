@@ -128,6 +128,32 @@ def test_nchw_autodetect_without_meta(split_dir, tmp_path):
     assert ds.sample_hw == (H, W)
 
 
+def test_loader_random_crop(packs):
+    """256²-crop-style training (BASELINE config 1): same window applied to
+    input and label, seeded per epoch."""
+    ds = PackedDataset(packs, "train")
+    loader = Loader(ds, batch_size=2, shuffle=False, crop_hw=(8, 8), seed=5)
+    x, y = next(iter(loader.epoch(0)))
+    assert x.shape == (2, 8, 8, 4) and y.shape == (2, 8, 8, 1)
+    # input/label crops align: re-derive from the full sample
+    full_x, full_y = ds.gather(np.array([0, 1]))
+    found = False
+    for oy in range(full_x.shape[1] - 7):
+        for ox in range(full_x.shape[2] - 7):
+            if np.array_equal(full_x[0, oy:oy + 8, ox:ox + 8], x[0]):
+                np.testing.assert_array_equal(
+                    full_y[0, oy:oy + 8, ox:ox + 8], y[0])
+                found = True
+    assert found
+    # deterministic per epoch, different across epochs
+    x0b, _ = next(iter(loader.epoch(0)))
+    np.testing.assert_array_equal(x, x0b)
+    x1, _ = next(iter(loader.epoch(1)))
+    assert not np.array_equal(x, x1)
+    with pytest.raises(ValueError):
+        Loader(ds, 2, crop_hw=(999, 8))
+
+
 def test_prefetch_to_device(packs):
     import jax
     from pcss_unet_tpu.data import prefetch_to_device
