@@ -4,7 +4,7 @@
 // C++ bindings (reference setdata.py:42-58); this is the framework's own
 // native decoder/encoder covering the subset the pipeline uses:
 //   - single-part scanline files, version 2
-//   - compression NONE(0), ZIPS(2), ZIP(3)   [zlib]
+//   - compression NONE(0), RLE(1), ZIPS(2), ZIP(3), PXR24(5)  [zlib]
 //   - pixel types UINT(0), HALF(1), FLOAT(2)
 //   - INCREASING_Y line order
 // Exposed as a C ABI consumed via ctypes (pcss_unet_tpu/io/exr.py).  The
@@ -26,7 +26,8 @@ namespace {
 
 constexpr int32_t kMagic = 20000630;
 constexpr int PT_UINT = 0, PT_HALF = 1, PT_FLOAT = 2;
-constexpr int COMP_NONE = 0, COMP_RLE = 1, COMP_ZIPS = 2, COMP_ZIP = 3;
+constexpr int COMP_NONE = 0, COMP_RLE = 1, COMP_ZIPS = 2, COMP_ZIP = 3,
+              COMP_PXR24 = 5;
 
 struct Channel {
   std::string name;
@@ -155,10 +156,11 @@ struct Reader {
     }
     if (!have_channels || !have_dw || !have_comp)
       return fail("missing required header attribute");
-    if (compression == COMP_ZIP) lines_per_chunk = 16;
+    if (compression == COMP_ZIP || compression == COMP_PXR24)
+      lines_per_chunk = 16;
     else if (compression == COMP_NONE || compression == COMP_RLE ||
              compression == COMP_ZIPS) lines_per_chunk = 1;
-    else return fail("unsupported compression (supported: NONE, RLE, ZIPS, ZIP)");
+    else return fail("unsupported compression (supported: NONE, RLE, ZIPS, ZIP, PXR24)");
     width = xmax - xmin + 1;
     height = ymax - ymin + 1;
     if (width <= 0 || height <= 0) return fail("empty data window");
@@ -230,6 +232,67 @@ struct Reader {
     int pt = channels[target].pixel_type;
 
     std::vector<uint8_t> scratch, raw;
+    // PXR24 stores per-row per-channel byte planes of running-differenced
+    // pixels, zlib-compressed; FLOAT rows are 24-bit (low byte dropped).
+    auto pxr24_chunk = [&](const uint8_t* payload, int csize, int y0,
+                           int n_lines, int target, int pt,
+                           float* dst) -> bool {
+      size_t planes_size = 0;
+      for (auto& ch : channels)
+        planes_size += (size_t)width *
+            (ch.pixel_type == PT_FLOAT ? 3 : ch.pixel_type == PT_HALF ? 2 : 4)
+            * n_lines;
+      scratch.resize(planes_size);
+      uLongf dlen = planes_size;
+      if (uncompress(scratch.data(), &dlen, payload, csize) != Z_OK ||
+          dlen != planes_size) {
+        error = "pxr24 inflate failed";
+        return false;
+      }
+      size_t pos = 0;
+      for (int line = 0; line < n_lines; ++line) {
+        for (size_t k = 0; k < channels.size(); ++k) {
+          int cpt = channels[k].pixel_type;
+          int nplanes = cpt == PT_FLOAT ? 3 : cpt == PT_HALF ? 2 : 4;
+          if ((int)k != target) {
+            pos += (size_t)width * nplanes;
+            continue;
+          }
+          const uint8_t* p = scratch.data() + pos;
+          float* row = dst + (size_t)(y0 + line) * width;
+          if (cpt == PT_FLOAT) {
+            uint32_t acc = 0;
+            for (int x = 0; x < width; ++x) {
+              uint32_t diff = ((uint32_t)p[x] << 16) |
+                              ((uint32_t)p[width + x] << 8) |
+                              (uint32_t)p[2 * width + x];
+              acc = (acc + diff) & 0xFFFFFFu;
+              uint32_t bits = acc << 8;
+              std::memcpy(&row[x], &bits, 4);
+            }
+          } else if (cpt == PT_HALF) {
+            uint32_t acc = 0;
+            for (int x = 0; x < width; ++x) {
+              uint32_t diff = ((uint32_t)p[x] << 8) | (uint32_t)p[width + x];
+              acc = (acc + diff) & 0xFFFFu;
+              row[x] = half_to_float((uint16_t)acc);
+            }
+          } else {
+            uint32_t acc = 0;
+            for (int x = 0; x < width; ++x) {
+              uint32_t diff = ((uint32_t)p[x] << 24) |
+                              ((uint32_t)p[width + x] << 16) |
+                              ((uint32_t)p[2 * width + x] << 8) |
+                              (uint32_t)p[3 * width + x];
+              acc += diff;
+              row[x] = (float)acc;
+            }
+          }
+          pos += (size_t)width * nplanes;
+        }
+      }
+      return true;
+    };
     for (size_t ci = 0; ci < chunk_offsets.size(); ++ci) {
       int64_t off = chunk_offsets[ci];
       if (off < 0 || (size_t)off + 8 > size) { error = "bad chunk offset"; return -1; }
@@ -242,6 +305,11 @@ struct Reader {
       const uint8_t* payload = data + off + 8;
       int y0 = y - ymin;
       int n_lines = std::min(lines_per_chunk, height - y0);
+      if (compression == COMP_PXR24) {
+        if (!pxr24_chunk(payload, csize, y0, n_lines, target, pt, dst))
+          return -1;
+        continue;
+      }
       size_t raw_size = line_bytes * (size_t)n_lines;
       const uint8_t* lines_ptr;
       if (compression == COMP_NONE || (size_t)csize >= raw_size) {
@@ -376,10 +444,11 @@ int pcss_exr_write(const char* path, const char* const* names,
                    const float* const* chans, int n, int width, int height,
                    int compression, int pixel_type) {
   if (compression != COMP_NONE && compression != COMP_RLE &&
-      compression != COMP_ZIPS && compression != COMP_ZIP)
+      compression != COMP_ZIPS && compression != COMP_ZIP &&
+      compression != COMP_PXR24)
     return -1;
   if (pixel_type != PT_HALF && pixel_type != PT_FLOAT) return -1;
-  int lpc = compression == COMP_ZIP ? 16 : 1;
+  int lpc = (compression == COMP_ZIP || compression == COMP_PXR24) ? 16 : 1;
   int psz = pixel_size(pixel_type);
 
   std::string header;
@@ -437,7 +506,58 @@ int pcss_exr_write(const char* path, const char* const* names,
         }
       }
     }
-    if (compression == COMP_NONE) {
+    if (compression == COMP_PXR24) {
+      // byte planes of running-differenced (rounded-24-bit) pixels
+      transformed.clear();
+      transformed.reserve(line_bytes * n_lines);
+      std::vector<uint8_t> p0(width), p1(width), p2(width);
+      for (int line = 0; line < n_lines; ++line) {
+        for (int k = 0; k < n; ++k) {
+          const float* src = chans[k] + (size_t)(y0 + line) * width;
+          if (pixel_type == PT_FLOAT) {
+            uint32_t prev = 0;
+            for (int x = 0; x < width; ++x) {
+              uint32_t bits;
+              std::memcpy(&bits, &src[x], 4);
+              uint32_t exp = (bits >> 23) & 0xFFu;
+              uint32_t p24;
+              if (exp == 255) {
+                p24 = (bits >> 8) & 0xFFFFFFu;
+                if (bits & 0x7FFFFFu) p24 |= 1;  // keep NaN non-zero
+              } else {
+                p24 = ((bits >> 8) & 0xFFFFFFu) + ((bits >> 7) & 1u);
+                if (p24 > 0xFFFFFFu) p24 = 0xFFFFFFu;
+              }
+              uint32_t diff = (p24 - prev) & 0xFFFFFFu;
+              prev = p24;
+              p0[x] = (uint8_t)(diff >> 16);
+              p1[x] = (uint8_t)(diff >> 8);
+              p2[x] = (uint8_t)diff;
+            }
+            transformed.insert(transformed.end(), p0.begin(), p0.end());
+            transformed.insert(transformed.end(), p1.begin(), p1.end());
+            transformed.insert(transformed.end(), p2.begin(), p2.end());
+          } else {
+            uint32_t prev = 0;
+            for (int x = 0; x < width; ++x) {
+              uint32_t h = float_to_half(src[x]);
+              uint32_t diff = (h - prev) & 0xFFFFu;
+              prev = h;
+              p0[x] = (uint8_t)(diff >> 8);
+              p1[x] = (uint8_t)diff;
+            }
+            transformed.insert(transformed.end(), p0.begin(), p0.end());
+            transformed.insert(transformed.end(), p1.begin(), p1.end());
+          }
+        }
+      }
+      uLongf clen = compressBound(transformed.size());
+      comp_buf.resize(clen);
+      if (compress2(comp_buf.data(), &clen, transformed.data(),
+                    transformed.size(), Z_DEFAULT_COMPRESSION) != Z_OK)
+        return -2;
+      payloads[ci].assign((const char*)comp_buf.data(), clen);
+    } else if (compression == COMP_NONE) {
       payloads[ci].assign((const char*)rows.data(), rows.size());
     } else if (compression == COMP_RLE) {
       do_zip_transform(rows.data(), rows.size(), transformed);

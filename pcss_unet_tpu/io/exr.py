@@ -34,8 +34,10 @@ _lib_lock = threading.Lock()
 _build_attempted = False
 
 COMP_NONE = exr_py.COMP_NONE
+COMP_RLE = exr_py.COMP_RLE
 COMP_ZIPS = exr_py.COMP_ZIPS
 COMP_ZIP = exr_py.COMP_ZIP
+COMP_PXR24 = exr_py.COMP_PXR24
 PT_HALF = exr_py.PT_HALF
 PT_FLOAT = exr_py.PT_FLOAT
 
@@ -132,7 +134,13 @@ def read_exr_channels(path: str, names: Sequence[str]) -> dict:
     if not os.path.exists(path):
         raise IOError(f"EXR file does not exist: {path}")
     if os.environ.get("PCSS_EXR_BACKEND") != "python":
-        result = _read_channels_native(path, names)
+        try:
+            result = _read_channels_native(path, names)
+        except IOError as e:
+            # fall back for files the native codec rejects (the pure-Python
+            # twin may still support them, or give a clearer error)
+            logging.debug("native EXR decode failed (%s); trying python", e)
+            result = None
         if result is not None:
             return result
     return exr_py.read_exr_channels_py(path, list(names))

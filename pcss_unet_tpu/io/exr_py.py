@@ -7,7 +7,8 @@ plus a faster native C++ twin (``native/exr/exr_codec.cpp``, wrapped by
 ``pcss_unet_tpu.io.exr``).  Both implement the subset the pipeline needs:
 
 - single-part scanline files, version 2
-- compression: NONE, RLE, ZIPS (1 line/chunk), ZIP (16 lines/chunk)
+- compression: NONE, RLE, ZIPS, ZIP (16 lines/chunk), PXR24 (lossy
+  24-bit floats, lossless HALF/UINT)
 - pixel types: HALF, FLOAT, UINT
 - INCREASING_Y line order
 
@@ -28,8 +29,84 @@ MAGIC = 20000630
 PT_UINT, PT_HALF, PT_FLOAT = 0, 1, 2
 _DTYPES = {PT_UINT: np.dtype("<u4"), PT_HALF: np.dtype("<f2"),
            PT_FLOAT: np.dtype("<f4")}
-COMP_NONE, COMP_RLE, COMP_ZIPS, COMP_ZIP, COMP_PIZ = 0, 1, 2, 3, 4
-_LINES_PER_CHUNK = {COMP_NONE: 1, COMP_RLE: 1, COMP_ZIPS: 1, COMP_ZIP: 16}
+COMP_NONE, COMP_RLE, COMP_ZIPS, COMP_ZIP, COMP_PIZ, COMP_PXR24 = 0, 1, 2, 3, 4, 5
+_LINES_PER_CHUNK = {COMP_NONE: 1, COMP_RLE: 1, COMP_ZIPS: 1, COMP_ZIP: 16,
+                    COMP_PXR24: 16}
+
+
+def _float_to_f24(bits: np.ndarray) -> np.ndarray:
+    """float32 bit pattern → rounded 24-bit representation (drop the low
+    mantissa byte with round-to-nearest; NaNs keep a non-zero mantissa)."""
+    sign_exp_mant = bits.astype(np.uint32)
+    exp = (sign_exp_mant >> 23) & 0xFF
+    rounded = ((sign_exp_mant >> 8) & 0xFFFFFF) + ((sign_exp_mant >> 7) & 1)
+    # rounding may carry into the exponent — that matches OpenEXR behavior
+    # except for NaN/Inf, which must stay NaN/Inf
+    special = exp == 255
+    truncated = (sign_exp_mant >> 8) & 0xFFFFFF
+    nan_fix = np.where((sign_exp_mant & 0x7FFFFF) != 0,
+                       truncated | 1, truncated)
+    return np.where(special, nan_fix, np.minimum(rounded, 0xFFFFFF)
+                    ).astype(np.uint32)
+
+
+def _pxr24_encode_rows(arrs, pixel_type, y0, n_lines, width) -> bytes:
+    """Per-scanline, per-channel byte planes of running-differenced pixels
+    (PXR24 layout: FLOAT → 3 planes of 24-bit diffs; HALF → 2 planes)."""
+    out = bytearray()
+    for line in range(n_lines):
+        for arr in arrs:
+            if pixel_type == PT_FLOAT:
+                bits = arr[y0 + line].view(np.uint32)
+                p24 = _float_to_f24(bits)
+                diffs = np.diff(p24, prepend=np.uint32(0)).astype(np.uint32)
+                out += (diffs >> 16).astype(np.uint8).tobytes()
+                out += (diffs >> 8).astype(np.uint8).tobytes()
+                out += diffs.astype(np.uint8).tobytes()
+            else:  # HALF
+                bits = arr[y0 + line].view(np.uint16).astype(np.uint32)
+                diffs = np.diff(bits, prepend=np.uint32(0)).astype(np.uint32)
+                out += (diffs >> 8).astype(np.uint8).tobytes()
+                out += diffs.astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def _pxr24_decode_rows(raw: bytes, channels, width, n_lines):
+    """Inverse of _pxr24_encode_rows → {channel: [n_lines, width] float32}."""
+    out = {ch.name: np.empty((n_lines, width), np.float32)
+           for ch in channels}
+    pos = 0
+    for line in range(n_lines):
+        for ch in channels:
+            if ch.pixel_type == PT_FLOAT:
+                b0 = np.frombuffer(raw, np.uint8, width, pos)
+                b1 = np.frombuffer(raw, np.uint8, width, pos + width)
+                b2 = np.frombuffer(raw, np.uint8, width, pos + 2 * width)
+                pos += 3 * width
+                diffs = ((b0.astype(np.uint32) << 16)
+                         | (b1.astype(np.uint32) << 8) | b2)
+                p24 = np.cumsum(diffs.astype(np.uint64)).astype(np.uint32) \
+                    & 0xFFFFFF
+                bits = (p24 << 8).astype(np.uint32)
+                out[ch.name][line] = bits.view(np.float32)
+            elif ch.pixel_type == PT_HALF:
+                b0 = np.frombuffer(raw, np.uint8, width, pos)
+                b1 = np.frombuffer(raw, np.uint8, width, pos + width)
+                pos += 2 * width
+                diffs = (b0.astype(np.uint32) << 8) | b1
+                bits = (np.cumsum(diffs.astype(np.uint64)).astype(np.uint32)
+                        & 0xFFFF).astype(np.uint16)
+                out[ch.name][line] = bits.view(np.float16).astype(np.float32)
+            else:  # UINT: 4 planes
+                planes = [np.frombuffer(raw, np.uint8, width,
+                                        pos + k * width).astype(np.uint64)
+                          for k in range(4)]
+                pos += 4 * width
+                diffs = ((planes[0] << 24) | (planes[1] << 16)
+                         | (planes[2] << 8) | planes[3])
+                vals = np.cumsum(diffs).astype(np.uint32)
+                out[ch.name][line] = vals.astype(np.float32)
+    return out
 
 
 def _rle_decompress(data: bytes, expected: int) -> bytes:
@@ -162,7 +239,7 @@ class ExrFile:
         self.compression = self.attrs["compression"][1][0]
         if self.compression not in _LINES_PER_CHUNK:
             raise ValueError(f"unsupported EXR compression {self.compression} "
-                             "(supported: NONE, ZIPS, ZIP)")
+                             "(supported: NONE, RLE, ZIPS, ZIP, PXR24)")
         xmin, ymin, xmax, ymax = struct.unpack("<4i", self.attrs["dataWindow"][1])
         self.width = xmax - xmin + 1
         self.height = ymax - ymin + 1
@@ -197,6 +274,14 @@ class ExrFile:
             payload = data[off + 8: off + 8 + size]
             y0 = y - self.y_min
             n_lines = min(self._lpc, self.height - y0)
+            if self.compression == COMP_PXR24:
+                raw = zlib.decompress(payload)
+                decoded = _pxr24_decode_rows(raw, self.channels, self.width,
+                                             n_lines)
+                for name, rows in decoded.items():
+                    if name in out and out[name] is not None:
+                        out[name][y0:y0 + n_lines] = rows
+                continue
             raw_size = sum(row_nbytes) * n_lines
             if self.compression == COMP_NONE or size >= raw_size:
                 raw = payload
@@ -268,6 +353,9 @@ def write_exr_py(path: str, channels: dict[str, np.ndarray],
         elif compression == COMP_RLE:
             comp = _rle_compress(_zip_do_transform(rows))
             payload = comp if len(comp) < len(rows) else rows
+        elif compression == COMP_PXR24:
+            planes = _pxr24_encode_rows(arrs, pixel_type, y0, n_lines, w)
+            payload = zlib.compress(planes)
         else:
             comp = zlib.compress(_zip_do_transform(rows))
             payload = comp if len(comp) < len(rows) else rows

@@ -126,6 +126,47 @@ def test_rle_cross_backend(tmp_path, rng):
         np.testing.assert_array_equal(out2[n], chans[n])
 
 
+def test_pxr24_roundtrip(tmp_path, rng, backend):
+    """PXR24: lossy 24-bit floats (|err| ≤ 2^-16 relative), lossless HALF."""
+    h, w = 37, 53
+    chans = {n: rng.uniform(-8, 8, (h, w)).astype(np.float32)
+             for n in ("R", "G", "B")}
+    path = str(tmp_path / "p24.exr")
+    write_exr(path, chans, compression=exr_py.COMP_PXR24)
+    out = read_exr_channels(path, ["R", "G", "B"])
+    for n in chans:
+        np.testing.assert_allclose(out[n], chans[n], rtol=2e-5, atol=1e-6)
+    # HALF through PXR24 is lossless
+    hpath = str(tmp_path / "p24h.exr")
+    write_exr(hpath, {"R": chans["R"]}, compression=exr_py.COMP_PXR24,
+              pixel_type=PT_HALF)
+    outh = read_exr_channels(hpath, ["R"])
+    np.testing.assert_allclose(outh["R"], chans["R"], rtol=1e-2, atol=1e-3)
+
+
+def test_pxr24_cross_backend(tmp_path, rng):
+    if _load_native() is None:
+        pytest.skip("native EXR codec unavailable")
+    chans = {"G": rng.uniform(0, 4, (40, 24)).astype(np.float32),
+             "R": rng.standard_normal((40, 24)).astype(np.float32)}
+    # native write → python read
+    p1 = str(tmp_path / "nat.exr")
+    write_exr(p1, chans, compression=exr_py.COMP_PXR24)
+    out1 = exr_py.read_exr_channels_py(p1, ["R", "G"])
+    # python write → native read
+    p2 = str(tmp_path / "py.exr")
+    exr_py.write_exr_py(p2, chans, compression=exr_py.COMP_PXR24)
+    os.environ["PCSS_EXR_BACKEND"] = "native"
+    try:
+        out2 = read_exr_channels(p2, ["R", "G"])
+    finally:
+        os.environ.pop("PCSS_EXR_BACKEND")
+    for n in chans:
+        np.testing.assert_allclose(out1[n], chans[n], rtol=2e-5, atol=1e-6)
+        # both decoders must agree bit-exactly on the same file pair
+        np.testing.assert_array_equal(out1[n], out2[n])
+
+
 def test_incompressible_chunk_stored_raw(tmp_path, backend):
     """Chunks that inflate under deflate must be stored raw and read back."""
     rng = np.random.default_rng(7)
