@@ -17,6 +17,11 @@ def main(argv=None) -> None:
     p.add_argument("--layout", choices=["nhwc", "nchw"], default="nhwc",
                    help="nchw writes reference-compatible packs")
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--per_file", action="store_true",
+                   help="also export one .npz per pair (the reference's "
+                        "orphan preprocess.py capability)")
+    p.add_argument("--per_file_normalize", choices=["none", "minmax"],
+                   default="none")
     args = p.parse_args(argv)
     setup_logger()
     cfg = load_config(args.config)
@@ -28,6 +33,13 @@ def main(argv=None) -> None:
                            num_workers=args.num_workers)
         print(f"{split}: {meta['count']} samples "
               f"{meta['height']}x{meta['width']} ({meta['layout']})")
+        if args.per_file:
+            from pcss_unet_tpu.data.records import export_per_file
+
+            n = export_per_file(root, f"{out_dir}/{split}_files",
+                                normalize=args.per_file_normalize,
+                                num_workers=args.num_workers)
+            print(f"{split}: exported {n} per-file .npz artifacts")
 
 
 if __name__ == "__main__":

@@ -165,6 +165,24 @@ def test_prefetch_to_device(packs):
     assert isinstance(batches[0][0], jax.Array)
 
 
+def test_per_file_export(split_dir, tmp_path):
+    """Per-pair .npz export with optional min-max normalization
+    (the orphan preprocess.py capability, rebuilt)."""
+    from pcss_unet_tpu.data.records import export_per_file
+
+    out = str(tmp_path / "files")
+    n = export_per_file(os.path.join(split_dir, "train"), out,
+                        normalize="minmax")
+    assert n == 9
+    files = sorted(f for f in os.listdir(out) if f.endswith(".npz"))
+    assert len(files) == 9
+    data = np.load(os.path.join(out, files[0]))
+    assert data["input"].shape == (H, W, 4)
+    assert data["label"].shape == (H, W, 1)
+    # min-max normalized per channel
+    assert data["input"].min() >= 0.0 and data["input"].max() <= 1.0 + 1e-6
+
+
 def test_corrupt_file_skipped(split_dir, tmp_path):
     """Error-skip policy: one bad EXR doesn't kill the pack
     (prepare_dataset.py:59-61)."""
