@@ -213,6 +213,8 @@ class ExrFile:
     """Parsed single-part scanline EXR."""
 
     def __init__(self, data: bytes):
+        if len(data) < 8:
+            raise ValueError("not an EXR file (truncated header)")
         if struct.unpack_from("<i", data, 0)[0] != MAGIC:
             raise ValueError("not an EXR file (bad magic)")
         version = struct.unpack_from("<i", data, 4)[0]
