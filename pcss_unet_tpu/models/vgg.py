@@ -61,22 +61,17 @@ class VGG19Features(nn.Module):
         taps = set(self.taps)
         outputs: dict[int, jax.Array] = {}
         x = x.astype(self.dtype)
-        idx_iter = sorted({i for i, _ in VGG19_CONVS} | VGG19_POOLS)
-        prev_was_conv = False
         for idx in range(0, max_tap + 1):
             conv = next(((i, ch) for i, ch in VGG19_CONVS if i == idx), None)
             if conv is not None:
                 _, ch = conv
                 x = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
                             param_dtype=self.param_dtype, name=f"conv_{idx}")(x)
-                prev_was_conv = True
             elif idx in VGG19_POOLS:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
-                prev_was_conv = False
             else:
                 # ReLU slots in torchvision indexing
                 x = nn.relu(x)
-                prev_was_conv = False
             if idx in taps:
                 outputs[idx] = x
         return [outputs[i] for i in self.taps]
