@@ -52,6 +52,9 @@ def setup_logger(log_dir: str | None = None, level=logging.INFO,
     logger = logging.getLogger(name)
     logger.setLevel(level)
     logger.handlers.clear()
+    # keep third-party checkpoint/compiler chatter out of the training log
+    for noisy in ("orbax", "absl", "jax._src"):
+        logging.getLogger(noisy).setLevel(max(level, logging.WARNING))
     fmt = "%(asctime)s - %(levelname)s - %(message)s"
     stream = logging.StreamHandler(sys.stdout)
     stream.setFormatter(ContentColoredFormatter(fmt, sys.stdout.isatty()))

@@ -111,6 +111,22 @@ def test_activation_variants(act, rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_fold_head_resize_equivalent(rng):
+    """fold_head_resize=True (one contraction) ≡ False (literal up-then-down
+    pair, Unetmodel.py:140-141) — exact linear-map composition."""
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 4)).astype(np.float32))
+    m_fold = UNet(encoder_widths=(8, 16), dtype=jnp.float32,
+                  dropout_rate=0.0, fold_head_resize=True)
+    m_lit = UNet(encoder_widths=(8, 16), dtype=jnp.float32,
+                 dropout_rate=0.0, fold_head_resize=False)
+    v = m_fold.init({"params": key, "dropout": key}, x, True)
+    out_f = m_fold.apply(v, x, False)
+    out_l = m_lit.apply(v, x, False)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_l),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_dilation_actually_applied(rng):
     """apply_dilation=True must change the computation (the reference's
     dilation arg is accepted-but-dead, Unetmodel.py:18-26)."""
