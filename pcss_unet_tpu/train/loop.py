@@ -142,15 +142,23 @@ def fit(cfg, model, train_loader: Loader, val_loader: Loader | None = None,
         jax.profiler.start_trace(profile_dir)
         profiling = True
 
+    compile_logged = start_epoch > 0
     for epoch in range(start_epoch, cfg.num_epochs):
         epoch_t0 = time.time()
         train_terms_acc: dict[str, float] = {}
         n_batches = 0
         for x, y in prefetch_to_device(train_loader.epoch(epoch),
                                        device_put_fn=put):
+            if not compile_logged:
+                logging.info("compiling the train step (first batch; this "
+                             "one-time XLA compile can take minutes)...")
             state, metrics = train_step(state, x, y, rng)
             n_batches += 1
             step = int(state.step)
+            if not compile_logged:
+                logging.info("train step compiled and first step done "
+                             "(%.1fs)", time.time() - epoch_t0)
+                compile_logged = True
             if profiling and n_batches >= 4:
                 jax.profiler.stop_trace()
                 profiling = False
