@@ -98,6 +98,16 @@ class Config:
     crop_height: int = 0
     crop_width: int = 0
 
+    # Device-resident dataset cache: upload the packed dataset to HBM once
+    # and gather/crop batches on device, eliminating per-step host→device
+    # transfers (the dominant step cost when the host link is slow).  The
+    # reference streams every batch from host mmap (setdata.py:243-245).
+    device_data_cache: str = "auto"         # on | off | auto (auto = cache
+                                            # when the dataset fits the budget)
+    device_cache_budget_mb: int = 6144      # HBM budget for the cache (v5e
+                                            # has 16 GB; leave room for model,
+                                            # activations, and XLA scratch)
+
     # Parallelism / inference
     data_parallel: int = -1                 # -1 → all devices on the 'data' axis
     spatial_parallel: int = 1               # mesh 'spatial' axis for sharded frames
