@@ -89,7 +89,11 @@ def main(argv=None) -> None:
             n, h, w, cfg.optimizer_type))
         logging.info("auto-selected batch_size=%d", cfg.batch_size)
 
-    save_config(cfg, f"{cfg.save_dir}/resolved_config.json")
+    from pcss_unet_tpu.models.vgg import vgg_weights_provenance
+
+    save_config(cfg, f"{cfg.save_dir}/resolved_config.json",
+                extra={"vgg_weights":
+                       vgg_weights_provenance(cfg.vgg_weights_path)})
     shard_kw = {}
     if args.multihost:
         from pcss_unet_tpu.utils.distributed import host_shard_args

@@ -164,8 +164,14 @@ def load_config(ini_path: str | None = None, overrides: dict | None = None) -> C
     return cfg.replace(**values)
 
 
-def save_config(cfg: Config, path: str) -> None:
-    """Persist the resolved config next to checkpoints (JSON for fidelity)."""
+def save_config(cfg: Config, path: str, extra: dict | None = None) -> None:
+    """Persist the resolved config next to checkpoints (JSON for fidelity).
+
+    ``extra``: runtime-resolved facts that aren't config inputs, e.g. the
+    ``vgg_weights`` provenance (pretrained artifact vs random fallback)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = cfg.to_dict()
+    if extra:
+        payload.update(extra)
     with open(path, "w") as f:
-        json.dump(cfg.to_dict(), f, indent=2)
+        json.dump(payload, f, indent=2)

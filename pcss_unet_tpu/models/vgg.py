@@ -86,18 +86,38 @@ def init_vgg_params(taps: Sequence[int] = DEFAULT_TAPS, seed: int = 0,
     return model.init(key, dummy)["params"]
 
 
+def vgg_weights_provenance(path: str | None) -> str:
+    """What the perceptual loss will actually run on — recorded in
+    resolved_config.json so a training run with random features is
+    auditable, not silent."""
+    if path and os.path.exists(path):
+        return f"pretrained:{path}"
+    return "random-seeded-fallback"
+
+
 def load_vgg_params(path: str | None, taps: Sequence[int] = DEFAULT_TAPS,
                     dtype=jnp.float32) -> dict:
     """Load converted torchvision weights from .npz; keys
     ``conv_{idx}_kernel`` (HWIO) / ``conv_{idx}_bias``.  Falls back to the
     seeded init when ``path`` is empty/missing."""
     if not path or not os.path.exists(path):
+        # LOUD on purpose: the reference trains on ImageNet VGG features
+        # (customLoss.py:20); random features are a usable perceptual
+        # embedding but NOT loss-value-parity with the reference.
         if path:
-            logging.warning("VGG weights artifact %s not found; using seeded "
-                            "random perceptual features", path)
+            logging.warning(
+                "VGG weights artifact %s NOT FOUND — perceptual loss will "
+                "run on seeded-random features (no ImageNet parity). "
+                "Produce the artifact on a dev machine: "
+                "python scripts/convert_vgg_weights.py --out %s", path, path)
         else:
-            logging.info("No VGG weights artifact configured; using seeded "
-                         "random perceptual features (see models/vgg.py)")
+            logging.warning(
+                "No VGG weights artifact configured (vgg_weights_path is "
+                "empty) — perceptual loss will run on seeded-random "
+                "features (no ImageNet parity). One-command recipe: "
+                "python scripts/convert_vgg_weights.py --out "
+                "vgg19_imagenet.npz  (requires torchvision; then set "
+                "vgg_weights_path)")
         return init_vgg_params(taps=taps, dtype=dtype)
     data = np.load(path)
     params: dict = {}

@@ -22,21 +22,23 @@ def main() -> None:
     args = p.parse_args()
 
     try:
-        import torch
         from torchvision import models
     except ImportError as e:
         raise SystemExit(
             f"torchvision required for conversion ({e}); run on a dev "
             "machine and copy the .npz artifact") from e
 
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    # the conversion path itself is validated against a live torch forward
+    # in tests/test_vgg_convert.py (no torchvision needed there)
+    from pcss_unet_tpu.parity.vgg_torch import convert_features_module
+
     vgg = models.vgg19(weights=models.VGG19_Weights.IMAGENET1K_V1).features
-    out: dict[str, np.ndarray] = {}
-    for idx, layer in enumerate(vgg):
-        if isinstance(layer, torch.nn.Conv2d):
-            w = layer.weight.detach().numpy()        # OIHW
-            out[f"conv_{idx}_kernel"] = np.ascontiguousarray(
-                np.transpose(w, (2, 3, 1, 0)))        # → HWIO
-            out[f"conv_{idx}_bias"] = layer.bias.detach().numpy()
+    out = convert_features_module(vgg)
     np.savez(args.out, **out)
     print(f"wrote {len(out)} arrays to {args.out}")
 
