@@ -89,9 +89,9 @@ class DeviceCache:
         logging.info("device cache: %d samples, %.1f MiB on device",
                      n, dataset_nbytes(ds) / (1 << 20))
 
-    def batches(self, loader, epoch: int):
+    def batches(self, loader, epoch: int, start_batch: int = 0):
         """Yield device (inputs, labels) batches for ``epoch``, identical in
-        content and order to ``loader.epoch(epoch)``."""
+        content and order to ``loader.epoch(epoch, start_batch)``."""
         if self.crop_hw != loader.crop_hw:
             raise ValueError(f"cache crop {self.crop_hw} != loader crop "
                              f"{loader.crop_hw}")
@@ -99,6 +99,8 @@ class DeviceCache:
         offsets = loader.crop_offsets(epoch, len(batches))
         zero = np.zeros(2, np.int32)
         for b, idx in enumerate(batches):
+            if b < start_batch:
+                continue
             origin = zero if offsets is None else offsets[b].astype(np.int32)
             xb, yb = _gather_batch(self.x, self.y, jnp.asarray(idx),
                                    jnp.asarray(origin), self.crop_hw)

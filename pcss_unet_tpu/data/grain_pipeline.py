@@ -55,10 +55,15 @@ class GrainLoader:
     def crop_offsets(self, epoch: int, num_batches: int):
         return None
 
-    def epoch(self, epoch: int):
+    def epoch(self, epoch: int, start_batch: int = 0):
+        import itertools
+
         import grain
 
         idx_ds = self._index_ds(epoch)
+        if start_batch:
+            idx_ds = grain.MapDataset.source(
+                list(itertools.islice(iter(idx_ds), start_batch, None)))
         gather = self.ds.gather
         if self.read_workers > 0:
             it = idx_ds.map(

@@ -213,11 +213,18 @@ class Loader:
         ox = rng.integers(0, w - cw + 1, size=num_batches)
         return np.stack([oy, ox], axis=1)
 
-    def epoch(self, epoch: int):
-        """Yield (inputs [B,h,w,4], labels [B,h,w,1]) host batches."""
+    def epoch(self, epoch: int, start_batch: int = 0):
+        """Yield (inputs [B,h,w,4], labels [B,h,w,1]) host batches.
+
+        ``start_batch`` skips the first N batches of the epoch's plan
+        (mid-epoch resume: offsets are computed for the FULL epoch and then
+        sliced, so the remaining stream is identical to an uninterrupted
+        run's tail)."""
         batches = self.epoch_indices(epoch)
         offsets = self.crop_offsets(epoch, len(batches))
         for b, idx in enumerate(batches):
+            if b < start_batch:
+                continue
             x, y = self.ds.gather(idx)
             if offsets is not None:
                 ch, cw = self.crop_hw

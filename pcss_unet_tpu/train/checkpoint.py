@@ -41,14 +41,23 @@ class CheckpointManagerWrapper:
         self.manager = ocp.CheckpointManager(self.directory, options=options)
 
     def save(self, state: TrainState, metrics: dict[str, float],
-             epoch: int) -> None:
+             epoch: int, cursor_batch: int | None = None) -> None:
+        """``cursor_batch``: data-order cursor for mid-epoch saves — the
+        number of batches of ``epoch`` already consumed, so resume can pick
+        up at the next batch instead of replaying (or skipping) the epoch.
+        None/-1 means the epoch completed."""
         payload = {
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
             "step": state.step,
             "skipped_steps": state.skipped_steps,
+            "cursor_batch": np.asarray(-1 if cursor_batch is None
+                                       else cursor_batch, np.int64),
         }
+        if epoch in (self.manager.all_steps() or []):
+            # re-saving the epoch a preemption checkpoint half-wrote
+            self.manager.delete(epoch)
         self.manager.save(
             epoch, args=ocp.args.StandardSave(payload),
             metrics={k: float(v) for k, v in metrics.items()})
@@ -62,8 +71,13 @@ class CheckpointManagerWrapper:
     def best_epoch(self) -> int | None:
         return self.manager.best_step()
 
-    def restore(self, state: TrainState, epoch: int | None = None) -> TrainState:
-        """Restore into the given (template) state; latest epoch by default."""
+    def restore(self, state: TrainState,
+                epoch: int | None = None) -> tuple[TrainState, int]:
+        """Restore into the given (template) state; latest epoch by default.
+        → (state, cursor_batch) — cursor_batch is -1 when the checkpointed
+        epoch completed (resume at the next epoch), else the number of
+        batches already consumed (resume mid-epoch).  Checkpoints written
+        before the cursor existed restore with -1."""
         epoch = self.latest_epoch() if epoch is None else epoch
         if epoch is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
@@ -73,16 +87,24 @@ class CheckpointManagerWrapper:
             "opt_state": state.opt_state,
             "step": state.step,
             "skipped_steps": state.skipped_steps,
+            "cursor_batch": np.asarray(-1, np.int64),
         }
-        restored = self.manager.restore(
-            epoch, args=ocp.args.StandardRestore(template))
+        try:
+            restored = self.manager.restore(
+                epoch, args=ocp.args.StandardRestore(template))
+            cursor = int(restored["cursor_batch"])
+        except Exception:  # noqa: BLE001 — pre-cursor checkpoint layout
+            template.pop("cursor_batch")
+            restored = self.manager.restore(
+                epoch, args=ocp.args.StandardRestore(template))
+            cursor = -1
         return state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
             step=restored["step"],
             skipped_steps=restored["skipped_steps"],
-        )
+        ), cursor
 
     def close(self) -> None:
         self.manager.close()

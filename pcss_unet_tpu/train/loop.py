@@ -47,7 +47,8 @@ def fit(cfg, model, train_loader: Loader, val_loader: Loader | None = None,
         *, devices=None, log_every: int = 100, image_every: int = 100,
         writer=None, checkpoint_dir: str | None = None,
         profile_dir: str | None = None,
-        install_preemption_handler: bool = True) -> FitResult:
+        install_preemption_handler: bool = True,
+        step_hook=None) -> FitResult:
     """Train ``model`` per ``cfg`` over the given loaders.
 
     ``profile_dir``: capture a jax.profiler trace of epoch 0's first batches
@@ -55,7 +56,12 @@ def fit(cfg, model, train_loader: Loader, val_loader: Loader | None = None,
     ``install_preemption_handler``: on SIGTERM/SIGINT, finish the current
     step, save a checkpoint, and exit cleanly — preemptible-slice etiquette
     (the reference's closest analogue is a KeyboardInterrupt print,
-    main.py:575-576; combined with resume this gives elastic restarts)."""
+    main.py:575-576; combined with resume this gives elastic restarts).
+    ``step_hook(host_step, epoch, batch_idx) -> bool``: called after every
+    train step; returning True requests a graceful stop through the same
+    checkpoint-and-exit path as a preemption signal (custom early-stop /
+    budget policies, and the deterministic trigger the mid-epoch resume
+    test uses)."""
     import math
 
     from pcss_unet_tpu.parallel.mesh import _default_devices
@@ -121,14 +127,23 @@ def fit(cfg, model, train_loader: Loader, val_loader: Loader | None = None,
 
     ckpt = None
     start_epoch = 0
+    start_batch = 0
     if checkpoint_dir or cfg.save_dir:
         ckpt = CheckpointManagerWrapper(checkpoint_dir or cfg.save_dir,
                                         max_to_keep=cfg.max_checkpoints_to_keep)
         if cfg.resume and ckpt.latest_epoch() is not None:
-            state = ckpt.restore(state)
-            start_epoch = int(ckpt.latest_epoch()) + 1
-            logging.info("resumed from epoch %d (step %d)",
-                         start_epoch - 1, int(state.step))
+            state, cursor = ckpt.restore(state)
+            last = int(ckpt.latest_epoch())
+            if 0 <= cursor < steps_per_epoch:
+                # mid-epoch preemption save: pick up at the next batch of
+                # the interrupted epoch — no replayed or skipped batches
+                start_epoch, start_batch = last, cursor
+                logging.info("resumed mid-epoch %d at batch %d (step %d)",
+                             last, cursor, int(state.step))
+            else:
+                start_epoch = last + 1
+                logging.info("resumed from epoch %d (step %d)",
+                             last, int(state.step))
 
     writer = writer or make_writer(cfg.log_dir)
     rng = jax.random.PRNGKey(cfg.seed)
@@ -153,10 +168,10 @@ def fit(cfg, model, train_loader: Loader, val_loader: Loader | None = None,
     elif val_loader is not None and val_loader.ds is ds:
         val_cache = train_cache
 
-    def train_batches(epoch):
+    def train_batches(epoch, skip=0):
         if train_cache is not None:
-            return train_cache.batches(train_loader, epoch)
-        return prefetch_to_device(train_loader.epoch(epoch),
+            return train_cache.batches(train_loader, epoch, start_batch=skip)
+        return prefetch_to_device(train_loader.epoch(epoch, start_batch=skip),
                                   device_put_fn=put)
 
     def val_batches():
@@ -182,12 +197,15 @@ def fit(cfg, model, train_loader: Loader, val_loader: Loader | None = None,
         epoch_t0 = time.time()
         metrics_acc = None   # device-side running sums; one transfer/epoch
         n_batches = 0
-        for x, y in train_batches(epoch):
+        skip = start_batch if epoch == start_epoch else 0
+        batches_done = skip   # data-order cursor within this epoch
+        for x, y in train_batches(epoch, skip):
             if not compile_logged:
                 logging.info("compiling the train step (first batch; this "
                              "one-time XLA compile can take minutes)...")
             state, metrics = train_step(state, x, y, rng)
             n_batches += 1
+            batches_done += 1
             host_step += 1
             # Accumulate on device: stays in XLA's async dispatch stream, no
             # host round-trip until the log boundary / epoch end.
@@ -202,6 +220,11 @@ def fit(cfg, model, train_loader: Loader, val_loader: Loader | None = None,
                 jax.profiler.stop_trace()
                 profiling = False
                 logging.info("wrote profiler trace to %s", profile_dir)
+            if step_hook is not None and step_hook(host_step, epoch,
+                                                   batches_done - 1):
+                logging.info("step_hook requested stop at epoch %d batch %d",
+                             epoch, batches_done - 1)
+                stop_requested.append("step_hook")
             if stop_requested:
                 break
             if host_step % log_every == 0:
@@ -255,7 +278,10 @@ def fit(cfg, model, train_loader: Loader, val_loader: Loader | None = None,
             if (is_best or periodic or stop_requested
                     or epoch == cfg.num_epochs - 1):
                 key = "val_loss" if val_avg else "train_loss"
-                ckpt.save(state, {key: epoch_loss}, epoch)
+                cursor = (batches_done if stop_requested
+                          and batches_done < steps_per_epoch else None)
+                ckpt.save(state, {key: epoch_loss}, epoch,
+                          cursor_batch=cursor)
         best_val = min(best_val, epoch_loss)
         if stop_requested:
             logging.warning("stopping at epoch %d on signal; checkpoint "

@@ -44,9 +44,11 @@ def test_sigterm_checkpoints_and_stops(tmp_path, cpus):
     saved = [d for d in os.listdir(tmp_path / "ckpt") if d.isdigit()]
     assert saved, "no checkpoint written on preemption"
 
-    # resume continues from the interrupted epoch
+    # resume continues from the interrupted epoch — if the preemption hit
+    # mid-epoch, the interrupted epoch's tail runs first (mid-epoch cursor),
+    # then the one extra epoch cfg2 allows
     cfg2 = cfg.replace(num_epochs=len(result.history) + 1)
     result2 = fit(cfg2, model, loader, None, devices=cpus[:1],
                   checkpoint_dir=str(tmp_path / "ckpt"), log_every=1000,
                   install_preemption_handler=False)
-    assert len(result2.history) <= 1
+    assert len(result2.history) <= 2

@@ -167,8 +167,9 @@ def test_checkpoint_save_restore(tmp_path, setup, bundle):
     mgr.save(state, {"val_loss": 0.5}, epoch=0)
     mgr.wait()
     fresh = create_train_state(model, cfg, 4, (2, 16, 16, 4), seed=123)
-    restored = mgr.restore(fresh)
+    restored, cursor = mgr.restore(fresh)
     assert int(restored.step) == 3
+    assert cursor == -1  # no mid-epoch cursor on a normal save
     for a, b in zip(jax.tree.leaves(jax.device_get(state.params)),
                     jax.tree.leaves(jax.device_get(restored.params))):
         np.testing.assert_array_equal(a, b)
