@@ -89,6 +89,37 @@ def test_tiled_close_to_full(model_and_vars, rng):
     assert res["verdict"] in ("exact", "pass"), res
 
 
+def test_tiled_last_tile_over_overlap(model_and_vars, rng):
+    """Non-divisible frames: the right-aligned last tile overlaps its
+    neighbour by MORE than 2·halo (tiled.py plan_tiles right-alignment) —
+    feather weights no longer sum to 1 there and the norm division must
+    renormalize.  Assert parity specifically on the seam strip, both blend
+    paths (VERDICT r1 next-step #10)."""
+    model, variables = model_and_vars
+    engine = InferenceEngine(model, variables, dtype=jnp.float32,
+                             pad_multiple=16)
+    # W=100, tile=64, halo=8: xs=[0, 36] → overlap 28 > 2·halo=16
+    frame = rng.standard_normal((96, 100, 4)).astype(np.float32)
+    assert plan_tiles(100, 64, 16) == [0, 36]
+    full = engine(frame)
+    for blend in ("host", "auto"):
+        tiled = infer_tiled(engine, frame, tile=64, halo=8, blend=blend)
+        assert tiled.shape == full.shape
+        # the contested strip: the [36, 64) x-range both tiles cover
+        seam_t = tiled[:, 30:70]
+        seam_f = full[:, 30:70]
+        res = compare_outputs(seam_t, seam_f, psnr_pass=35.0)
+        assert res["verdict"] in ("exact", "pass"), (blend, res)
+        # weights renormalize exactly: a constant-input frame must come out
+        # constant through the blend (any weight-sum defect would ripple)
+    const = np.full((96, 100, 4), 0.25, np.float32)
+    t_host = infer_tiled(engine, const, tile=64, halo=8, blend="host")
+    t_dev = infer_tiled(engine, const, tile=64, halo=8, blend="auto")
+    np.testing.assert_allclose(t_host, t_dev, rtol=1e-5, atol=1e-6)
+    interior = t_host[24:72, 8:92, 0]
+    assert float(interior.max() - interior.min()) < 1e-4
+
+
 def test_train_infer_consistency(model_and_vars, rng):
     """validate_consistency.py role: both pathways agree (MSE<1e-6 or
     PSNR>50, validate_consistency.py:186-191)."""
