@@ -67,6 +67,28 @@ def cmd_pair(args) -> int:
             print(f"decode A/B: convert('L') vs RGB-mean — max diff "
                   f"{diff.max():.6f}, mean diff {diff.mean():.6f} "
                   f"({'identical' if diff.max() < 1e-6 else 'differs: L uses ITU-R 601 weights'})")
+    if args.figure:
+        # headless montage of every channel (+ label): the capability of the
+        # reference's interactive viewer (check.py:93-147) as a writable
+        # artifact — works over SSH/CI where a display is unavailable
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        panels = [(arr, f"input {name}") for name, arr in zip("RGBA", planes)]
+        if args.png:
+            panels.append((label, "label"))
+        fig, axes = plt.subplots(1, len(panels), figsize=(4 * len(panels), 4))
+        for ax, (img, title) in zip(np.atleast_1d(axes), panels):
+            lo, hi = float(np.nanmin(img)), float(np.nanmax(img))
+            im = ax.imshow(img, cmap="gray", vmin=lo, vmax=max(hi, lo + 1e-8))
+            ax.set_title(f"{title}\n[{lo:.3f}, {hi:.3f}]")
+            ax.axis("off")
+            fig.colorbar(im, ax=ax, fraction=0.046)
+        fig.tight_layout()
+        fig.savefig(args.figure, dpi=100)
+        print(f"wrote channel montage to {args.figure}")
     return 0
 
 
@@ -123,6 +145,10 @@ def main(argv=None) -> None:
     c2.add_argument("--png", default=None)
     c2.add_argument("--compare_decodes", action="store_true",
                     help="A/B label decode methods (check.py:149-204)")
+    c2.add_argument("--figure", default=None,
+                    help="write a per-channel montage PNG here (headless "
+                         "equivalent of the reference interactive viewer, "
+                         "check.py:93-147)")
     c3 = sub.add_parser("packs", help="per-sample stats of packed arrays")
     c3.add_argument("--dataset_path", required=True)
     c3.add_argument("--split", default="train")

@@ -19,6 +19,10 @@ def main(argv=None) -> None:
     p.add_argument("--output_dir", default="./consistency_out")
     p.add_argument("--config", default=None)
     p.add_argument("--stats_dir", default=None)
+    p.add_argument("--panel", action="store_true",
+                   help="also write a side-by-side comparison figure "
+                        "(reference validate_consistency.py matplotlib "
+                        "panel; headless Agg backend)")
     args = p.parse_args(argv)
     setup_logger()
 
@@ -47,6 +51,28 @@ def main(argv=None) -> None:
     diff = np.abs(res["train_pathway"] - res["infer_pathway"])
     write_mask_png(os.path.join(args.output_dir, "abs_diff.png"),
                    diff / max(float(diff.max()), 1e-8))
+    if args.panel:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 3, figsize=(15, 5))
+        for ax, (img, title) in zip(axes, [
+                (res["train_pathway"], "training pathway"),
+                (res["infer_pathway"], "inference pathway"),
+                (diff, "abs diff")]):
+            im = ax.imshow(np.squeeze(img), cmap="gray", vmin=0,
+                           vmax=1 if title != "abs diff" else None)
+            ax.set_title(title)
+            ax.axis("off")
+            if title == "abs diff":
+                fig.colorbar(im, ax=ax, fraction=0.046)
+        fig.suptitle(f"MSE {res['mse']:.3e} | PSNR {res['psnr']:.2f} dB | "
+                     f"{res['verdict'].upper()}")
+        fig.savefig(os.path.join(args.output_dir, "panel.png"),
+                    bbox_inches="tight", dpi=110)
+        plt.close(fig)
     print(f"MSE  = {res['mse']:.3e}")
     print(f"PSNR = {res['psnr']:.2f} dB")
     print(f"verdict: {res['verdict'].upper()}")

@@ -15,6 +15,7 @@ engine:
 
 from __future__ import annotations
 
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -75,7 +76,12 @@ class InferenceEngine:
 
     def __init__(self, model, variables: dict, *, means=None, stds=None,
                  dtype=jnp.bfloat16, pad_multiple: int = 16,
-                 use_pallas: bool | None = None, fold_bn: bool = False):
+                 use_pallas: bool | None = None, fold_bn: bool = False,
+                 pallas_interpret: bool = False):
+        if use_pallas is None:
+            from pcss_unet_tpu.ops.pallas import pallas_available
+
+            use_pallas = pallas_available()
         clone_kw: dict = {"dtype": dtype}
         if fold_bn:
             if getattr(model, "normalization", None) != "batch_norm":
@@ -84,24 +90,43 @@ class InferenceEngine:
 
             variables = fold_batchnorm(variables)
             clone_kw["normalization"] = "none"
+            # Folded blocks qualify for the fused Pallas ConvBlock kernel
+            # (ops/pallas/convblock.py; small-channel stages, ~1.9-4.3×).
+            # Kept OFF for the SPMD-sharded path: XLA cannot spatially
+            # partition a custom call — ``plain_model`` serves that.
+            if use_pallas or pallas_interpret:
+                clone_kw["fused_inference"] = True
+                clone_kw["pallas_interpret"] = pallas_interpret
+        plain_kw = {k: v for k, v in clone_kw.items()
+                    if k not in ("fused_inference", "pallas_interpret")}
+        try:
+            self.plain_model = model.clone(**plain_kw)
+        except TypeError:
+            if fold_bn:
+                # A silent fallback here would apply folded (batch_stats-
+                # stripped) variables to the unfolded model — fail loudly.
+                raise ValueError(
+                    "fold_bn=True but the model does not accept "
+                    f"clone(**{sorted(plain_kw)})") from None
+            self.plain_model = model  # custom model without these fields
         try:
             self.model = model.clone(**clone_kw)
-        except Exception:  # noqa: BLE001 - fall back to the model as given
-            self.model = model
+        except TypeError:
+            # model lacks the fused_inference deployment fields — the plain
+            # graph is always a correct (just unfused) stand-in
+            self.model = self.plain_model
         self.params = jax.tree.map(jnp.asarray, variables["params"])
         self.batch_stats = jax.tree.map(jnp.asarray,
                                         variables.get("batch_stats", {}))
         self.means = None if means is None else jnp.asarray(means, jnp.float32)
         self.stds = None if stds is None else jnp.asarray(stds, jnp.float32)
         self.pad_multiple = pad_multiple
-        if use_pallas is None:
-            from pcss_unet_tpu.ops.pallas import pallas_available
-
-            use_pallas = pallas_available()
         self.use_pallas = use_pallas
         self._fwd = jax.jit(self._forward)
+        self._fwd_plain = jax.jit(functools.partial(self._forward,
+                                                    plain=True))
 
-    def _forward(self, params, batch_stats, x):
+    def _forward(self, params, batch_stats, x, plain: bool = False):
         if self.use_pallas and self.means is not None:
             # one fused pass: scrub + standardize (ops/pallas/fused.py)
             from pcss_unet_tpu.ops.pallas import fused_scrub_standardize
@@ -113,15 +138,20 @@ class InferenceEngine:
                                neginf=0.0)  # inference.py:171-173
             if self.means is not None:
                 x = (x - self.means) / (self.stds + 1e-8)
-        out = self.model.apply({"params": params, "batch_stats": batch_stats},
-                               x, False)
+        model = self.plain_model if plain else self.model
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          x, False)
         out = jnp.nan_to_num(out.astype(jnp.float32), nan=0.0, posinf=1.0,
                              neginf=0.0)  # inference.py:200-202
         return jnp.clip(out, 0.0, 1.0)
 
-    def run_padded(self, frames) -> jax.Array:
+    def run_padded(self, frames, plain: bool = False) -> jax.Array:
         """Forward on already-aligned frames (device array in, device array
-        out; no host sync) — the hot path for benchmarking/serving."""
+        out; no host sync) — the hot path for benchmarking/serving.
+        ``plain=True`` uses the partitioner-friendly graph (no Pallas custom
+        calls) — required for the SPMD spatially-sharded path."""
+        if plain:
+            return self._fwd_plain(self.params, self.batch_stats, frames)
         return self._fwd(self.params, self.batch_stats, frames)
 
     def render_u8(self, frames) -> jax.Array:

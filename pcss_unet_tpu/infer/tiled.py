@@ -40,7 +40,8 @@ def infer_sharded(engine: InferenceEngine, frames: np.ndarray, mesh) -> np.ndarr
     padded, (h, w) = pad_to_multiple(frames, engine.pad_multiple)
     sharding = NamedSharding(mesh, P("data", "spatial"))
     x = jax.device_put(padded, sharding)
-    out = np.asarray(engine.run_padded(x))[:, :h, :w, :]
+    # plain graph: the SPMD partitioner can't split a Pallas custom call
+    out = np.asarray(engine.run_padded(x, plain=True))[:, :h, :w, :]
     return out[0] if squeeze else out
 
 

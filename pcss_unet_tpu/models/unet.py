@@ -79,6 +79,13 @@ class ConvBlock(nn.Module):
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
+    # Deployment fast path: run the whole folded-BN block through the fused
+    # Pallas kernel (ops/pallas/convblock.py) — measured 1.9-4.3× faster
+    # than the XLA composition for the ≤64-channel stages at 544×960
+    # (docs/BENCHMARKS.md).  Only taken at eval with normalization 'none'
+    # (i.e. after fold_batchnorm) and leaky_relu; param tree is unchanged.
+    fused_inference: bool = False
+    pallas_interpret: bool = False   # CI: run the kernel interpreted on CPU
 
     def _norm(self, name: str) -> Callable:
         if self.normalization == "batch_norm":
@@ -111,24 +118,54 @@ class ConvBlock(nn.Module):
             return x
         return norm(x)
 
+    def _fusable(self, x: jax.Array, train: bool) -> bool:
+        # ≤64 on BOTH ends: that is where XLA leaves the ~10× bandwidth gap
+        # (docs/BENCHMARKS.md) AND where the kernel's per-band VMEM working
+        # set (3 row-bands + fp32 accumulators at k_rows=16) stays under the
+        # 16 MB scoped-vmem limit — 64→128 blocks overflow it.
+        return (self.fused_inference and not train
+                and self.normalization == "none"
+                and self.activation == "leaky_relu"
+                and not self.apply_dilation
+                and x.shape[-1] <= 64 and self.features <= 64)
+
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         act = _activation(self.activation)
         in_ch = x.shape[-1]
         dil = self.dilation if self.apply_dilation else 1
-        x = nn.Conv(in_ch, (3, 3), padding="SAME",
-                    kernel_dilation=(dil, dil),
-                    dtype=self.dtype, param_dtype=self.param_dtype,
-                    name="conv_a")(x)
+        conv_a = nn.Conv(in_ch, (3, 3), padding="SAME",
+                         kernel_dilation=(dil, dil),
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="conv_a")
+        conv_b = nn.Conv(self.features, (1, 1),
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="conv_b")
+        if self._fusable(x, train):
+            from pcss_unet_tpu.ops.pallas.convblock import fused_conv_block_nhwc
+
+            # materialize both convs' params on a 1-pixel probe (same param
+            # tree as the unfused path), then read them for the kernel
+            probe = jnp.zeros((1, 1, 1, in_ch), self.dtype)
+            conv_b(conv_a(probe))
+            pa = conv_a.variables["params"]
+            pb = conv_b.variables["params"]
+            ka = pa["kernel"].astype(self.dtype)             # [3,3,Cin,Cmid]
+            w1 = ka.transpose(0, 1, 3, 2).reshape(9, ka.shape[3], ka.shape[2])
+            w2 = pb["kernel"][0, 0].T.astype(self.dtype)     # [Cout, Cmid]
+            b1 = pa["bias"].astype(jnp.float32)[:, None]
+            b2 = pb["bias"].astype(jnp.float32)[:, None]
+            return fused_conv_block_nhwc(
+                x.astype(self.dtype), w1, b1, w2, b2,
+                negative_slope=0.2, interpret=self.pallas_interpret)
+        x = conv_a(x)
         x = self._apply_norm(self._norm("norm_a"), x, train)
         x = act(x).astype(self.dtype)
         # Dropout2d: drop whole channels per sample (broadcast over H, W);
         # reference Unetmodel.py:24
         x = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
                        deterministic=not train)(x)
-        x = nn.Conv(self.features, (1, 1),
-                    dtype=self.dtype, param_dtype=self.param_dtype,
-                    name="conv_b")(x)
+        x = conv_b(x)
         x = self._apply_norm(self._norm("norm_b"), x, train)
         return act(x).astype(self.dtype)
 
@@ -158,6 +195,10 @@ class UNet(nn.Module):
     # (Unetmodel.py:140-141) into ONE contraction per axis — an exact
     # composition of the two linear maps, ~6× fewer resize FLOPs at 1080p.
     fold_head_resize: bool = True
+    # Deployment fast path (see ConvBlock.fused_inference): route eligible
+    # small-channel folded-BN blocks through the fused Pallas kernel.
+    fused_inference: bool = False
+    pallas_interpret: bool = False
 
     def _block(self, features, dropout, name, dilation=1):
         return ConvBlock(
@@ -170,6 +211,8 @@ class UNet(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             bn_axis_name=self.bn_axis_name,
+            fused_inference=self.fused_inference,
+            pallas_interpret=self.pallas_interpret,
             name=name,
         )
 
@@ -211,6 +254,8 @@ class UNet(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             bn_axis_name=self.bn_axis_name,
+            fused_inference=self.fused_inference,
+            pallas_interpret=self.pallas_interpret,
             name=f"enc_{depth-1}",
         )(x, train)
 

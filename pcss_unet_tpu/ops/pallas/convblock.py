@@ -1,0 +1,194 @@
+"""Fused ConvBlock Pallas kernel for the small-channel stages.
+
+The network's 544×960 stages (enc_0: 16→16→64, dec_final: 64→64→16) are
+bandwidth-bound, but XLA runs them ~10× over the HBM bound: with NHWC and
+C≤64, the channel (lane) dimension fills at most half a 128-lane register,
+and the conv window gather costs extra passes (measured ~0.5 ms marginal
+per 16-ch 3×3 conv at 544×960 vs a ~0.04 ms traffic bound;
+docs/BENCHMARKS.md "Pallas fused ConvBlock").
+
+This kernel computes a whole folded-BN ConvBlock —
+
+    LeakyReLU(W2 · LeakyReLU(conv3×3(x, W1) + b1) + b2)
+
+(reference DoubleConv, Unetmodel.py:17-33, in its BN-folded inference
+form) — in ONE pass over the frame, in a **channels-major layout**:
+``x [Cin, H·Wp]`` puts pixels on the lane axis (always full 128-lane
+registers) and channels on sublanes.  The 3×3 window never materializes:
+each of the 9 taps is a lane-roll of the same block feeding an MXU
+contraction over channels, accumulated in fp32:
+
+    acc[Cmid, kWp] = Σ_tap  W1[tap] [Cmid,Cin] @ roll(band_dy, -dx) [Cin,kWp]
+
+SAME zero-padding comes for free: the frame is padded W→Wp (next multiple
+of 128, ≥1 zero column), so lane rolls wrap zeros in at row edges; the
+vertical halo is one row-band passed three times (prev/cur/next BlockSpec
+index maps), with the stolen strips zeroed at the top/bottom bands.
+
+Forward/inference only; training keeps the autodiffable XLA composition.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _convblock_kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref,
+                      w2_ref, b2_ref, out_ref, *, k_rows: int, wp: int,
+                      negative_slope: float):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    compute_dt = cur_ref.dtype
+
+    prev_last = prev_ref[0, :, (k_rows - 1) * wp:]       # [Cin, Wp]
+    next_first = next_ref[0, :, :wp]                     # [Cin, Wp]
+    # top/bottom frame edge: the halo row is SAME zero padding
+    prev_last = jnp.where(i == 0, jnp.zeros_like(prev_last), prev_last)
+    next_first = jnp.where(i == n - 1, jnp.zeros_like(next_first),
+                           next_first)
+    ext = jnp.concatenate([prev_last, cur_ref[0], next_first], axis=1)
+
+    cmid = b1_ref.shape[0]
+    acc = jnp.zeros((cmid, k_rows * wp), jnp.float32)
+    for dy in range(3):
+        band = ext[:, dy * wp: dy * wp + k_rows * wp]
+        zcol = jnp.zeros((band.shape[0], 1), band.dtype)
+        for dx in (-1, 0, 1):
+            # lane shift by ±1 pixel as slice+zero-fill (Mosaic has no bf16
+            # rotate); row-boundary crossings land in the zero-pad columns,
+            # so this is exactly SAME zero padding
+            if dx == 0:
+                tap = band
+            elif dx == 1:          # out[p] needs in[p+1] → shift left
+                tap = jnp.concatenate([band[:, 1:], zcol], axis=1)
+            else:                  # out[p] needs in[p-1] → shift right
+                tap = jnp.concatenate([zcol, band[:, :-1]], axis=1)
+            w_tap = w1_ref[dy * 3 + dx + 1]              # [Cmid, Cin]
+            acc += jax.lax.dot_general(
+                w_tap.astype(compute_dt), tap,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    h = acc + b1_ref[:].astype(jnp.float32)
+    h = jnp.where(h >= 0, h, h * negative_slope).astype(compute_dt)
+    out = jax.lax.dot_general(
+        w2_ref[:].astype(compute_dt), h,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out = out + b2_ref[:].astype(jnp.float32)
+    out = jnp.where(out >= 0, out, out * negative_slope)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("k_rows", "negative_slope",
+                                             "interpret"))
+def fused_conv_block_chw(x: jax.Array, w1: jax.Array, b1: jax.Array,
+                         w2: jax.Array, b2: jax.Array, *, k_rows: int = 16,
+                         negative_slope: float = 0.2,
+                         interpret: bool = False) -> jax.Array:
+    """x [N, Cin, H, Wp] (W already zero-padded to a multiple of 128 with at
+    least one pad column; pad rows if H % k_rows) → [N, Cout, H, Wp].
+
+    w1 [9, Cmid, Cin] (tap = dy·3+dx), b1 [Cmid, 1], w2 [Cout, Cmid],
+    b2 [Cout, 1].
+    """
+    n, cin, h, wp = x.shape
+    assert wp % 128 == 0, f"Wp must be lane-aligned, got {wp}"
+    assert h % k_rows == 0, f"H={h} not divisible by k_rows={k_rows}"
+    cmid = w1.shape[1]
+    cout = w2.shape[0]
+    bands = h // k_rows
+    x2 = x.reshape(n, cin, h * wp)
+    grid = (bands, n)
+
+    def band_spec(off):
+        return pl.BlockSpec(
+            (1, cin, k_rows * wp),
+            lambda i, b, o=off: (b, 0, jnp.clip(i + o, 0, bands - 1)),
+            memory_space=pltpu.VMEM)
+
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, b: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_convblock_kernel, k_rows=k_rows, wp=wp,
+                          negative_slope=negative_slope),
+        out_shape=jax.ShapeDtypeStruct((n, cout, h * wp), x.dtype),
+        grid=grid,
+        in_specs=[band_spec(-1), band_spec(0), band_spec(+1),
+                  full((9, cmid, cin)), full((cmid, 1)),
+                  full((cout, cmid)), full((cout, 1))],
+        out_specs=pl.BlockSpec((1, cout, k_rows * wp),
+                               lambda i, b: (b, 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x2, x2, x2, w1, b1, w2, b2)
+    return out.reshape(n, cout, h, wp)
+
+
+def pack_convblock_params(params: dict, dtype=jnp.bfloat16):
+    """Flax folded-BN ConvBlock params → kernel operand pack.
+
+    ``params`` is the block's param subtree: conv_a {kernel [3,3,Cin,Cmid],
+    bias [Cmid]}, conv_b {kernel [1,1,Cmid,Cout], bias [Cout]} (BN already
+    folded into kernels/biases by models/fold_bn.py)."""
+    ka = np.asarray(params["conv_a"]["kernel"], np.float32)  # HWIO
+    ba = np.asarray(params["conv_a"]["bias"], np.float32)
+    kb = np.asarray(params["conv_b"]["kernel"], np.float32)
+    bb = np.asarray(params["conv_b"]["bias"], np.float32)
+    w1 = jnp.asarray(ka.transpose(0, 1, 3, 2).reshape(
+        9, ka.shape[3], ka.shape[2]), dtype)                 # [9, Cmid, Cin]
+    b1 = jnp.asarray(ba[:, None], jnp.float32)
+    w2 = jnp.asarray(kb[0, 0].T, dtype)                      # [Cout, Cmid]
+    b2 = jnp.asarray(bb[:, None], jnp.float32)
+    return w1, b1, w2, b2
+
+
+def _pick_k_rows(cin: int, cmid: int, cout: int, wp: int,
+                 itemsize: int = 2) -> int:
+    """Largest band height whose kernel working set fits scoped VMEM.
+
+    Per band: 3 row-band inputs (double-buffered by the Pallas pipeline),
+    the ext concat (+2 halo rows), fp32 accumulator + compute-dtype hidden,
+    and the fp32 out + double-buffered out block.  Budget 14 MB of the
+    16 MB scoped-vmem limit (the 64→16 dec_final block at Wp=1024 measures
+    26 MB at k_rows=16 — a fixed 16 OOMs inside the full model)."""
+    budget = 14 * 1024 * 1024
+    for k in (32, 16, 8, 4, 2, 1):
+        band = 3 * 2 * cin * k * wp * itemsize
+        ext = cin * (k + 2) * wp * itemsize
+        mid = cmid * k * wp * (4 + itemsize)
+        out = cout * k * wp * (4 + 2 * itemsize)
+        if band + ext + mid + out <= budget:
+            return k
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("k_rows", "negative_slope",
+                                             "interpret"))
+def fused_conv_block_nhwc(x: jax.Array, w1, b1, w2, b2, *,
+                          k_rows: int | None = None,
+                          negative_slope: float = 0.2,
+                          interpret: bool = False) -> jax.Array:
+    """NHWC convenience wrapper: [N,H,W,Cin] → [N,H,W,Cout].  Pads W to the
+    lane multiple and H to the band multiple, transposes to channels-major,
+    runs the fused kernel, and transposes back (the transposes are XLA
+    relayouts; benchmark inclusive of them).  ``k_rows=None`` picks the
+    largest VMEM-fitting band height."""
+    n, h, w, cin = x.shape
+    wp = (w // 128 + 1) * 128
+    if k_rows is None:
+        k_rows = _pick_k_rows(cin, w1.shape[1], w2.shape[0], wp,
+                              itemsize=x.dtype.itemsize)
+    hp = ((h + k_rows - 1) // k_rows) * k_rows
+    x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+    xc = x.transpose(0, 3, 1, 2)
+    out = fused_conv_block_chw(xc, w1, b1, w2, b2, k_rows=k_rows,
+                               negative_slope=negative_slope,
+                               interpret=interpret)
+    return out.transpose(0, 2, 3, 1)[:, :h, :w, :]

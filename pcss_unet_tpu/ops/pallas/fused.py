@@ -1,14 +1,18 @@
 """Pallas TPU kernels for the bandwidth-bound edges of the network.
 
-Two fusions that bracket every inference call (SURVEY.md §7 step 7):
+Fusions that bracket every inference call (SURVEY.md §7 step 7):
 
 - ``fused_scrub_standardize`` — NaN/Inf scrub (inference.py:171-173) +
   per-channel standardization ((x−μ)/(σ+1e-8), setdata.py:316) + bf16 cast
   in ONE pass over the frame.  One HBM read + one write instead of three
   kernel round-trips if XLA declines to fuse across the cast.
-- ``fused_shuffle_sigmoid`` — the model head's pixel-shuffle reconstruction
-  + sigmoid (Unetmodel.py:147-148) in one pass: reads the [H/2, W/2, 4]
-  head output, writes the [H, W, 1] mask.
+- ``fused_mask_to_u8`` — serving-path clip/scrub/×255/u8-quantize in one
+  pass, halving device→host traffic for rendered masks.
+
+(A head pixel-shuffle+sigmoid fusion was prototyped and removed: current
+Mosaic rejects the lane-interleaving shape cast it needs, and XLA already
+fuses that pattern adequately.  The fused ConvBlock kernel —
+ops/pallas/convblock.py — is where the measured Pallas wins live.)
 
 Grids are 1-D over row-blocks; W×C is the lane dimension (W is a multiple
 of 64 and C is 4, so W·C is a multiple of the 128-lane requirement after
@@ -113,42 +117,3 @@ def fused_mask_to_u8(x: jax.Array, block_rows: int = 256,
     return out.reshape(n, h, w, c)
 
 
-def _shuffle_sigmoid_kernel(x_ref, out_ref):
-    x = x_ref[:].astype(jnp.float32)     # [block, W2 * 4]
-    rows, wc = x.shape
-    w2 = wc // 4
-    x = x.reshape(rows, w2, 2, 2)        # [..., dy, dx] torch channel order
-    # out rows interleave dy: out[2r + dy, 2c + dx] = x[r, c, dy*2+dx]
-    x = x.transpose(0, 2, 1, 3)          # [rows, dy, W2, dx]
-    out = jax.nn.sigmoid(x.reshape(rows * 2, w2 * 2))
-    out_ref[:] = out.astype(out_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
-def fused_shuffle_sigmoid(x: jax.Array, block_rows: int = 64,
-                          interpret: bool = False) -> jax.Array:
-    """Head fusion: x [N, H2, W2, 4] → sigmoid(pixel_shuffle(x)) as
-    [N, 2·H2, 2·W2, 1] float32 (Unetmodel.py:147-148).
-
-    NOTE: current Mosaic rejects the lane-interleaving shape cast this needs
-    ("infer-vector-layout: unsupported shape cast"), so the compiled TPU path
-    is unavailable — the kernel is interpreter-validated and the model keeps
-    the XLA composition (which fuses this pattern adequately).  Revisit when
-    Mosaic grows strided lane stores."""
-    n, h2, w2, c = x.shape
-    assert c == 4, "head emits out_ch*r^2 = 4 channels"
-    rows = n * h2
-    x2 = x.reshape(rows, w2 * 4)
-    block_rows = min(block_rows, rows)
-    grid = (pl.cdiv(rows, block_rows),)
-    out = pl.pallas_call(
-        _shuffle_sigmoid_kernel,
-        out_shape=jax.ShapeDtypeStruct((rows * 2, w2 * 2), jnp.float32),
-        grid=grid,
-        in_specs=[pl.BlockSpec((block_rows, w2 * 4), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((block_rows * 2, w2 * 2), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(x2)
-    return out.reshape(n, h2 * 2, w2 * 2, 1)

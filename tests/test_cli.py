@@ -75,8 +75,10 @@ def test_cli_full_chain(workdir, capsys):
     with pytest.raises(SystemExit) as e:
         cli_check.main(["pair", "--exr", f"{root}/data/train/{pair}",
                         "--png", f"{root}/data/train/"
-                                 f"{pair.replace('_input.exr', '_gt.png')}"])
+                                 f"{pair.replace('_input.exr', '_gt.png')}",
+                        "--figure", f"{root}/pair_channels.png"])
     assert e.value.code == 0
+    assert os.path.exists(f"{root}/pair_channels.png")
     with pytest.raises(SystemExit) as e:
         cli_check.main(["packs", "--dataset_path", f"{root}/processed",
                         "--max_samples", "2",
@@ -110,7 +112,8 @@ def test_cli_full_chain(workdir, capsys):
                        "--input", f"{root}/data/train/{pair}",
                        "--output_dir", f"{root}/consistency",
                        "--config", f"{root}/tiny.ini",
-                       "--stats_dir", f"{root}/processed"])
+                       "--stats_dir", f"{root}/processed", "--panel"])
+    assert os.path.exists(f"{root}/consistency/panel.png")
     out = capsys.readouterr().out
     assert "verdict:" in out.lower()
     assert "FAIL" not in out.split("verdict:")[-1]

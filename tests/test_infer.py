@@ -110,14 +110,32 @@ def test_tiled_last_tile_over_overlap(model_and_vars, rng):
         seam_f = full[:, 30:70]
         res = compare_outputs(seam_t, seam_f, psnr_pass=35.0)
         assert res["verdict"] in ("exact", "pass"), (blend, res)
-        # weights renormalize exactly: a constant-input frame must come out
-        # constant through the blend (any weight-sum defect would ripple)
-    const = np.full((96, 100, 4), 0.25, np.float32)
-    t_host = infer_tiled(engine, const, tile=64, halo=8, blend="host")
-    t_dev = infer_tiled(engine, const, tile=64, halo=8, blend="auto")
-    np.testing.assert_allclose(t_host, t_dev, rtol=1e-5, atol=1e-6)
-    interior = t_host[24:72, 8:92, 0]
-    assert float(interior.max() - interior.min()) < 1e-4
+    # Weights renormalize exactly where the last tile overlaps beyond
+    # 2·halo: blending constant TILE OUTPUTS must reproduce the constant
+    # everywhere (any weight-sum defect would ripple).  Tested on the blend
+    # machinery directly — through the model, receptive-field truncation at
+    # tile edges exceeds the 8-px halo and legitimately perturbs the seam.
+    from pcss_unet_tpu.infer.tiled import _feather_weights
+    from pcss_unet_tpu.ops.pallas.blend import blend_tiles_device
+
+    tile, halo = 64, 8
+    fh, fw = 96, 100
+    ys, xs = plan_tiles(fh, tile, 2 * halo), plan_tiles(fw, tile, 2 * halo)
+    assert xs == [0, 36]  # overlap 28 > 2·halo
+    offsets = np.array([(y, x) for y in ys for x in xs], np.int32)
+    outs = np.full((len(offsets), tile, tile, 1), 0.25, np.float32)
+    w1d = _feather_weights(tile, halo)
+    w2d = np.outer(w1d, w1d).astype(np.float32)[..., None]
+    acc = np.zeros((fh, fw, 1), np.float32)
+    norm = np.zeros((fh, fw, 1), np.float32)
+    for t, (y, x) in enumerate(offsets):
+        acc[y:y + tile, x:x + tile] += outs[t] * w2d
+        norm[y:y + tile, x:x + tile] += w2d
+    host = acc / np.maximum(norm, 1e-8)
+    np.testing.assert_allclose(host, 0.25, rtol=0, atol=1e-6)
+    dev = np.asarray(blend_tiles_device(jnp.asarray(outs), jnp.asarray(w2d),
+                                        jnp.asarray(offsets), (fh, fw)))
+    np.testing.assert_allclose(dev, 0.25, rtol=0, atol=1e-6)
 
 
 def test_train_infer_consistency(model_and_vars, rng):

@@ -3,13 +3,10 @@ its XLA-composition reference implementation."""
 
 import numpy as np
 import pytest
-import jax
 import jax.numpy as jnp
 
-from pcss_unet_tpu.ops import pixel_shuffle_nhwc
 from pcss_unet_tpu.ops.pallas import (
     blend_tiles_device, fused_mask_to_u8, fused_scrub_standardize,
-    fused_shuffle_sigmoid,
 )
 
 
@@ -47,14 +44,6 @@ def test_fused_scrub_standardize_bf16(rng):
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, np.float32), x,
                                rtol=1e-2, atol=1e-2)
-
-
-def test_fused_shuffle_sigmoid(rng):
-    x = rng.standard_normal((2, 8, 16, 4)).astype(np.float32)
-    got = np.asarray(fused_shuffle_sigmoid(jnp.asarray(x), interpret=True))
-    ref = np.asarray(jax.nn.sigmoid(pixel_shuffle_nhwc(jnp.asarray(x), 2)))
-    assert got.shape == (2, 16, 32, 1)
-    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
 
 
 def test_blend_tiles_device_matches_host(rng):
