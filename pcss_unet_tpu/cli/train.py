@@ -45,6 +45,13 @@ def main(argv=None) -> None:
     p.add_argument("--grain", action="store_true",
                    help="use the Grain-backed input pipeline")
     p.add_argument("--grain_workers", type=int, default=0)
+    # distillation (paper.md:143 deployment trimming)
+    p.add_argument("--distill_teacher", default=None,
+                   help="teacher checkpoint (Orbax dir or .pth) — enables "
+                        "distillation of the (trimmed) model being trained")
+    p.add_argument("--distill_teacher_depth", type=int, default=None)
+    p.add_argument("--distill_teacher_width", type=int, default=None)
+    p.add_argument("--distill_weight", type=float, default=None)
     args = p.parse_args(argv)
 
     if args.multihost:

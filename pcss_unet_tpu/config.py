@@ -98,6 +98,16 @@ class Config:
     crop_height: int = 0
     crop_width: int = 0
 
+    # Distillation — the paper's deployment pipeline trims the 25 MB net to
+    # a 2.5 MB variant (paper.md:143); here the trimmed student trains
+    # against a trained full-size teacher's soft masks in addition to the
+    # labels: total += distill_weight · mean((student − teacher)²).
+    distill_teacher: str = ""               # teacher checkpoint (Orbax dir or
+                                            # .pth); empty = distillation off
+    distill_teacher_depth: int = 4          # teacher architecture (defaults:
+    distill_teacher_width: int = 64         #   the reference network)
+    distill_weight: float = 0.5
+
     # Device-resident dataset cache: upload the packed dataset to HBM once
     # and gather/crop batches on device, eliminating per-step host→device
     # transfers (the dominant step cost when the host link is slow).  The

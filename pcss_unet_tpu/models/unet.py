@@ -119,15 +119,16 @@ class ConvBlock(nn.Module):
         return norm(x)
 
     def _fusable(self, x: jax.Array, train: bool) -> bool:
-        # ≤64 on BOTH ends: that is where XLA leaves the ~10× bandwidth gap
-        # (docs/BENCHMARKS.md) AND where the kernel's per-band VMEM working
-        # set (3 row-bands + fp32 accumulators at k_rows=16) stays under the
-        # 16 MB scoped-vmem limit — 64→128 blocks overflow it.
+        # cin ≤ 64: where XLA leaves the bandwidth gap (measured speedups
+        # 1.09-1.29×, docs/BENCHMARKS.md "Pallas fused ConvBlock"); at
+        # cin=128 the kernel only ties XLA (1.00×), so stop there.  cout ≤
+        # 128 keeps the per-band VMEM working set fitting via the adaptive
+        # band height (ops/pallas/convblock.py:_pick_k_rows).
         return (self.fused_inference and not train
                 and self.normalization == "none"
                 and self.activation == "leaky_relu"
                 and not self.apply_dilation
-                and x.shape[-1] <= 64 and self.features <= 64)
+                and x.shape[-1] <= 64 and self.features <= 128)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:

@@ -98,3 +98,162 @@ def build_explicit_dp_train_step(cfg, bundle: LossBundle, means, stds,
         out_specs=(state_spec, state_spec),
         check_vma=False)
     return jax.jit(sharded, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# ZeRO-1: optimizer-state sharding over the 'data' axis
+# ---------------------------------------------------------------------------
+#
+# Every optimizer this framework builds (train/state.py:make_optimizer) is
+# elementwise — adam moments, decoupled/in-grad weight decay, zero_nans,
+# lr scaling — so the update commutes with any partition of the flattened
+# parameter vector.  Each device therefore keeps only 1/N of the optimizer
+# moments (the 2×params fp32 that dominates optimizer HBM for adam),
+# updates its chunk, and an all-gather over ICI reassembles the params.
+# Gradients are still pmean'd in full (ZeRO-1, not ZeRO-2): at this model
+# scale the moment memory is the win and the extra reduce-scatter plumbing
+# buys nothing.
+
+from flax import struct  # noqa: E402
+
+
+class Zero1State(struct.PyTreeNode):
+    """Like TrainState but ``opt_state`` holds only this mesh-slice's chunk
+    of the flattened-parameter optimizer state (globally: arrays sharded on
+    axis 0 over 'data'; scalar counters replicated)."""
+
+    step: jax.Array
+    params: object
+    batch_stats: object
+    opt_state: object
+    skipped_steps: jax.Array
+    tx: object = struct.field(pytree_node=False)
+    n_flat: int = struct.field(pytree_node=False)   # unpadded param count
+
+
+def _flat_chunk(vec: jax.Array, chunk: int) -> jax.Array:
+    idx = jax.lax.axis_index("data")
+    return jax.lax.dynamic_slice(vec, (idx * chunk,), (chunk,))
+
+
+def zero1_spec_tree(tree):
+    """out/in_specs for a ZeRO-1 optimizer-state tree: chunk arrays sharded
+    on 'data', scalar counters (e.g. adam's step count) replicated."""
+    return jax.tree.map(lambda x: P("data") if getattr(x, "ndim", 0) else P(),
+                        tree)
+
+
+def create_zero1_state(model, cfg, steps_per_epoch: int, sample_shape,
+                       mesh: Mesh, seed: int | None = None) -> Zero1State:
+    """Initialize params (replicated) + the sharded optimizer state."""
+    from jax.flatten_util import ravel_pytree
+
+    from pcss_unet_tpu.train.state import make_optimizer
+
+    key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+    dummy = jnp.zeros(sample_shape, jnp.float32)
+    variables = model.init({"params": key, "dropout": key}, dummy, True)
+    params = variables["params"]
+    tx = make_optimizer(cfg, steps_per_epoch)
+
+    flat, _ = ravel_pytree(params)
+    n = mesh.shape["data"]
+    chunk = -(-flat.shape[0] // n)  # ceil
+    padded = jnp.pad(flat, (0, chunk * n - flat.shape[0]))
+
+    def init_shard(vec):
+        return tx.init(_flat_chunk(vec, chunk))
+
+    opt_state = jax.jit(jax.shard_map(
+        init_shard, mesh=mesh, in_specs=(P(),),
+        out_specs=zero1_spec_tree(jax.eval_shape(tx.init,
+                                                 jnp.zeros(chunk))),
+        check_vma=False))(padded)
+    from flax.core import FrozenDict
+
+    return Zero1State(
+        step=jnp.zeros((), jnp.int32), params=params,
+        batch_stats=variables.get("batch_stats", FrozenDict()),
+        opt_state=opt_state, skipped_steps=jnp.zeros((), jnp.int32),
+        tx=tx, n_flat=int(flat.shape[0]))
+
+
+def build_zero1_dp_train_step(cfg, bundle: LossBundle, means, stds,
+                              steps_per_epoch: int, mesh: Mesh,
+                              model, state: Zero1State) -> Callable:
+    """Explicit-collective DP step with ZeRO-1 sharded optimizer state:
+    ``train_step(zero1_state, x, y, rng)`` with x, y sharded over 'data'.
+    Numerically identical to the replicated explicit step (pinned in
+    tests/test_dp_explicit.py) — the partition is purely an HBM layout.
+    ``state`` (from create_zero1_state) supplies the optimizer-state pytree
+    structure the shard specs are derived from."""
+    from jax.flatten_util import ravel_pytree
+
+    means = jnp.asarray(means, jnp.float32)
+    stds = jnp.asarray(stds, jnp.float32)
+    n_dev = mesh.shape["data"]
+
+    def per_device_step(state: Zero1State, x_raw, y, rng):
+        x = standardize(x_raw.astype(jnp.float32), means, stds)
+        y = y.astype(jnp.float32)
+        drop_rng = jax.random.fold_in(
+            jax.random.fold_in(rng, state.step),
+            jax.lax.axis_index("data"))
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, True, rngs={"dropout": drop_rng},
+                mutable=["batch_stats"])
+            total, terms = standard_loss(bundle, out, y)
+            return total, (mutated["batch_stats"], terms)
+
+        (total, (new_stats, terms)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads, "data")
+        total = jax.lax.pmean(total, "data")
+        terms = jax.lax.pmean(terms, "data")
+
+        gnorm = optax.global_norm(grads)
+        max_norm = clip_norm_for_step(state.step, steps_per_epoch,
+                                      cfg.num_epochs, cfg.grad_clip_norm,
+                                      cfg.grad_clip_decay)
+        scale = jnp.minimum(1.0, max_norm / (gnorm + 1e-6))
+
+        flat_g, _ = ravel_pytree(grads)
+        flat_p, unravel = ravel_pytree(state.params)
+        chunk = -(-state.n_flat // n_dev)
+        pad = chunk * n_dev - state.n_flat
+        g_chunk = _flat_chunk(jnp.pad(flat_g * scale, (0, pad)), chunk)
+        p_chunk = _flat_chunk(jnp.pad(flat_p, (0, pad)), chunk)
+
+        updates, new_opt = state.tx.update(g_chunk, state.opt_state, p_chunk)
+        new_p_chunk = optax.apply_updates(p_chunk, updates)
+        new_flat = jax.lax.all_gather(new_p_chunk, "data",
+                                      tiled=True)[:state.n_flat]
+        new_params = unravel(new_flat)
+
+        ok = jnp.isfinite(total) & jnp.isfinite(gnorm)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=_select_tree(ok, new_params, state.params),
+            batch_stats=_select_tree(ok, new_stats, state.batch_stats),
+            opt_state=_select_tree(ok, new_opt, state.opt_state),
+            skipped_steps=state.skipped_steps + (1 - ok.astype(jnp.int32)),
+        )
+        metrics = dict(terms)
+        metrics["grad_norm"] = gnorm
+        metrics["skipped"] = 1 - ok.astype(jnp.int32)
+        return new_state, metrics
+
+    state_specs = Zero1State(
+        step=P(), params=jax.tree.map(lambda _: P(), state.params),
+        batch_stats=jax.tree.map(lambda _: P(), state.batch_stats),
+        opt_state=zero1_spec_tree(state.opt_state), skipped_steps=P(),
+        tx=state.tx, n_flat=state.n_flat)
+    sharded = jax.shard_map(
+        per_device_step, mesh=mesh,
+        in_specs=(state_specs, P("data"), P("data"), P()),
+        out_specs=(state_specs, P()),
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0,))

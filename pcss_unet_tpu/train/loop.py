@@ -113,8 +113,24 @@ def fit(cfg, model, train_loader: Loader, val_loader: Loader | None = None,
         sobel_weight=cfg.sobel_weight,
         ssim_weight=cfg.ssim_weight,
     )
+    teacher = None
+    if getattr(cfg, "distill_teacher", ""):
+        # distillation: eval-mode soft targets from a trained full-size net
+        # (paper.md:143 deployment trimming; see train/step.py)
+        from pcss_unet_tpu.infer import load_variables
+        from pcss_unet_tpu.models import unet_from_config
+
+        t_cfg = cfg.replace(model_depth=cfg.distill_teacher_depth,
+                            base_width=cfg.distill_teacher_width)
+        teacher = (unet_from_config(t_cfg),
+                   load_variables(cfg.distill_teacher))
+        logging.info("distillation on: teacher=%s (depth %d, width %d), "
+                     "weight %.3f", cfg.distill_teacher,
+                     cfg.distill_teacher_depth, cfg.distill_teacher_width,
+                     cfg.distill_weight)
     train_step = jax.jit(
-        build_train_step(cfg, bundle, ds.means, ds.stds, steps_per_epoch),
+        build_train_step(cfg, bundle, ds.means, ds.stds, steps_per_epoch,
+                         teacher=teacher),
         donate_argnums=(0,))
     eval_step = jax.jit(build_eval_step(cfg, bundle, ds.means, ds.stds))
     lr_fn = warmup_cosine_schedule(cfg.learning_rate, cfg.warmup_epochs,

@@ -47,22 +47,37 @@ def _select_tree(pred, new_tree, old_tree):
 
 def build_train_step(cfg, bundle: LossBundle, means, stds,
                      steps_per_epoch: int,
-                     per_block_norms: bool = True) -> Callable:
+                     per_block_norms: bool = True,
+                     teacher=None) -> Callable:
     """→ ``train_step(state, x, y, rng) -> (state, metrics)`` (pure, jittable).
 
     ``per_block_norms`` adds a ``grad_norm/<block>`` metric per top-level
     module — the jitted equivalent of the reference's per-module backward
     hooks that log NaN/Inf and large-norm gradients (main.py:180-222),
-    without the hook storm on the host."""
+    without the hook storm on the host.
+
+    ``teacher``: optional ``(model, variables)`` for distillation (the
+    paper's 25 MB→2.5 MB deployment trimming, paper.md:143): the teacher
+    runs an eval-mode forward on the same standardized batch and
+    ``cfg.distill_weight · mean((out − teacher_out)²)`` joins the loss.
+    The teacher's forward is param-independent, so it computes once per
+    step outside the gradient."""
     means = jnp.asarray(means, jnp.float32)
     stds = jnp.asarray(stds, jnp.float32)
     use_perturb = cfg.loss_type == "perturb"
+    if teacher is not None:
+        t_model, t_vars = teacher
+        t_vars = jax.tree.map(jnp.asarray, dict(t_vars))
+        distill_w = jnp.float32(cfg.distill_weight)
 
     def train_step(state: TrainState, x_raw, y, rng):
         x = standardize(x_raw.astype(jnp.float32), means, stds)
         y = y.astype(jnp.float32)
         drop_rng, pert_rng, pert_drop_rng = jax.random.split(
             jax.random.fold_in(rng, state.step), 3)
+        if teacher is not None:
+            soft = jax.lax.stop_gradient(
+                t_model.apply(t_vars, x, False).astype(jnp.float32))
 
         def loss_fn(params):
             out, mutated = state.apply_fn(
@@ -81,6 +96,12 @@ def build_train_step(cfg, bundle: LossBundle, means, stds,
                                              x, out, y, training=True)
             else:
                 total, terms = standard_loss(bundle, out, y)
+            if teacher is not None:
+                d = jnp.mean((out.astype(jnp.float32) - soft) ** 2)
+                total = total + distill_w * d
+                terms = dict(terms)
+                terms["distill_loss"] = d
+                terms["total_loss"] = total
             return total, (mutated["batch_stats"], terms)
 
         (total, (new_stats, terms)), grads = jax.value_and_grad(

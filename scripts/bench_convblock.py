@@ -27,11 +27,14 @@ from pcss_unet_tpu.ops.pallas.convblock import (
 
 SCAN_LEN = 32
 
-# (name, Cin, Cmid, Cout, H, W) — the ≤64-channel stages at 1080p
+# (name, Cin, Cmid, Cout, H, W) — the ≤64-channel stages at 1080p, plus the
+# wider 128-channel neighbours (fused only if they measure a win)
 STAGES = [
     ("enc_0", 16, 16, 64, 544, 960),
     ("dec_final", 64, 64, 16, 544, 960),
     ("dec_2@272x480", 64, 64, 64, 272, 480),
+    ("enc_1", 64, 64, 128, 272, 480),
+    ("dec_2_real", 128, 128, 64, 272, 480),
 ]
 
 

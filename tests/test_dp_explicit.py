@@ -64,3 +64,65 @@ def batch_sharding_1d(mesh):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     return NamedSharding(mesh, P("data"))
+
+
+def test_zero1_matches_replicated_explicit(cpus):
+    """ZeRO-1 sharded-optimizer step ≡ replicated explicit DP step: the
+    moment partition is an HBM layout, not a numerics change.  Also pins
+    that each device's optimizer chunk is 1/N of the flattened params."""
+    from pcss_unet_tpu.parallel.dp import (
+        Zero1State, build_zero1_dp_train_step, create_zero1_state,
+    )
+
+    cfg = Config(batch_size=8, num_epochs=2, warmup_epochs=1,
+                 dropout_rate=0.0)
+    bundle = LossBundle(perceptual=PerceptualLoss(None, taps=(2,),
+                                                  tap_weights=(1.0,)))
+    means = np.zeros(4, np.float32)
+    stds = np.ones(4, np.float32)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 32, 32, 4)).astype(np.float32)
+    y = rng.random((8, 32, 32, 1)).astype(np.float32)
+    key = jax.random.PRNGKey(7)
+    mesh = Mesh(np.array(cpus[:4]).reshape(4), ("data",))
+    model = UNet(encoder_widths=(8, 16), dtype=jnp.float32,
+                 dropout_rate=0.0, bn_axis_name="data")
+
+    # replicated explicit baseline
+    state_rep = create_train_state(model, cfg, 4, (8, 32, 32, 4))
+    rep_step = build_explicit_dp_train_step(cfg, bundle, means, stds, 4,
+                                            mesh, model)
+    xs = jax.device_put(x, batch_sharding_1d(mesh))
+    ys = jax.device_put(y, batch_sharding_1d(mesh))
+    krep = jax.device_put(key, replicate_sharding(mesh))
+    s_rep = jax.device_put(state_rep, replicate_sharding(mesh))
+
+    # zero-1 path, same params
+    z = create_zero1_state(model, cfg, 4, (8, 32, 32, 4), mesh)
+    assert isinstance(z, Zero1State)
+    n_flat = z.n_flat
+    chunk = -(-n_flat // 4)
+    # mu/nu (adam moments) are globally [4*chunk] = params padded to 4 chunks
+    big_leaves = [l for l in jax.tree.leaves(z.opt_state)
+                  if getattr(l, "ndim", 0) == 1]
+    assert big_leaves and all(l.shape == (4 * chunk,) for l in big_leaves)
+    # z's params/batch_stats are bit-identical to state_rep's (same model,
+    # same cfg.seed init) but DISTINCT buffers — donation in one step must
+    # not delete the other state's arrays (device_put of the same source
+    # with the same sharding would alias).
+    z = z.replace(params=jax.device_put(z.params, replicate_sharding(mesh)),
+                  batch_stats=jax.device_put(z.batch_stats,
+                                             replicate_sharding(mesh)))
+    z_step = build_zero1_dp_train_step(cfg, bundle, means, stds, 4, mesh,
+                                       model, z)
+
+    for i in range(3):   # a few steps so the moments actually matter
+        k = jax.random.fold_in(krep, i)
+        s_rep, m_rep = rep_step(s_rep, xs, ys, k)
+        z, m_z = z_step(z, xs, ys, k)
+
+    assert float(m_z["total_loss"]) == pytest.approx(
+        float(m_rep["total_loss"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(jax.device_get(s_rep.params)),
+                    jax.tree.leaves(jax.device_get(z.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
