@@ -32,10 +32,14 @@ def main() -> None:
                               jnp.zeros((1, 64, 64, 4), jnp.float32), False)
     # deployment posture: BatchNorm folded into the convs (exact at eval),
     # small-channel blocks through the fused Pallas ConvBlock kernel
-    # (ops/pallas/convblock.py; +3.4% end-to-end, docs/BENCHMARKS.md) with
-    # the plain XLA graph as per-config fallback.
+    # (ops/pallas/convblock.py), ≥256-channel blocks through dynamic-int8
+    # convs on the int8 MXU (ops/int8.py; 71.5 dB vs the float graph) —
+    # docs/BENCHMARKS.md — with the plain XLA graph as per-config fallback.
     folded = fold_batchnorm(dict(variables))
-    models = {"fused": model_bn.clone(normalization="none",
+    models = {"fused_int8": model_bn.clone(normalization="none",
+                                           fused_inference=True,
+                                           int8_inference=True),
+              "fused": model_bn.clone(normalization="none",
                                       fused_inference=True),
               "plain": model_bn.clone(normalization="none")}
     params = folded["params"]
@@ -47,8 +51,9 @@ def main() -> None:
     best_fps = 0.0
     best_batch = 1
     best_impl = "plain"
-    for batch, scan_len, impl in ((1, 32, "fused"), (1, 32, "plain"),
-                                  (2, 16, "fused"), (4, 8, "fused")):
+    for batch, scan_len, impl in ((1, 32, "fused_int8"), (1, 32, "fused"),
+                                  (1, 32, "plain"), (2, 16, "fused_int8"),
+                                  (4, 8, "fused_int8")):
         model = models[impl]
         try:
             # Streaming measurement: scan_len sequential forwards inside ONE

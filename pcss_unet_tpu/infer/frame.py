@@ -77,11 +77,13 @@ class InferenceEngine:
     def __init__(self, model, variables: dict, *, means=None, stds=None,
                  dtype=jnp.bfloat16, pad_multiple: int = 16,
                  use_pallas: bool | None = None, fold_bn: bool = False,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False, quantize: str = "none"):
         if use_pallas is None:
             from pcss_unet_tpu.ops.pallas import pallas_available
 
             use_pallas = pallas_available()
+        if quantize not in ("none", "int8"):
+            raise ValueError(f"unknown quantize mode: {quantize}")
         clone_kw: dict = {"dtype": dtype}
         if fold_bn:
             if getattr(model, "normalization", None) != "batch_norm":
@@ -97,8 +99,16 @@ class InferenceEngine:
             if use_pallas or pallas_interpret:
                 clone_kw["fused_inference"] = True
                 clone_kw["pallas_interpret"] = pallas_interpret
+            # int8 serving path (ops/int8.py): ≥128-channel blocks on the
+            # int8 MXU; ~1 dB-class quality cost, measured in BENCHMARKS.
+            if quantize == "int8":
+                clone_kw["int8_inference"] = True
+        elif quantize == "int8":
+            raise ValueError("quantize='int8' requires fold_bn=True "
+                             "(the int8 path runs on folded-BN blocks)")
         plain_kw = {k: v for k, v in clone_kw.items()
-                    if k not in ("fused_inference", "pallas_interpret")}
+                    if k not in ("fused_inference", "pallas_interpret",
+                                 "int8_inference")}
         try:
             self.plain_model = model.clone(**plain_kw)
         except TypeError:

@@ -86,6 +86,13 @@ class ConvBlock(nn.Module):
     # (i.e. after fold_batchnorm) and leaky_relu; param tree is unchanged.
     fused_inference: bool = False
     pallas_interpret: bool = False   # CI: run the kernel interpreted on CPU
+    # Deployment int8 path for the MXU-bound ≥128-channel stages: dynamic
+    # per-tensor activation scales + per-output-channel weight scales,
+    # int8×int8→int32 convs on the v5e int8 MXU (measured 1.67× over bf16
+    # at the 512-channel decoder shape, docs/BENCHMARKS.md).  Disjoint from
+    # the fused-Pallas gate (cin ≤ 64); param tree unchanged (weights
+    # quantize in-graph — a few MB re-read per forward, noise vs the win).
+    int8_inference: bool = False
 
     def _norm(self, name: str) -> Callable:
         if self.normalization == "batch_norm":
@@ -130,6 +137,15 @@ class ConvBlock(nn.Module):
                 and not self.apply_dilation
                 and x.shape[-1] <= 64 and self.features <= 128)
 
+    def _int8able(self, x: jax.Array, train: bool) -> bool:
+        # cin ≥ 256: only the genuinely MXU-bound blocks (enc_3/dec_0/dec_1
+        # at 1080p).  The 128-channel stages are bandwidth-bound — dynamic
+        # quantization there ADDS full-frame passes and measured a net loss.
+        return (self.int8_inference and not train
+                and self.normalization == "none"
+                and not self.apply_dilation
+                and x.shape[-1] >= 256)
+
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         act = _activation(self.activation)
@@ -142,6 +158,20 @@ class ConvBlock(nn.Module):
         conv_b = nn.Conv(self.features, (1, 1),
                          dtype=self.dtype, param_dtype=self.param_dtype,
                          name="conv_b")
+        if self._int8able(x, train):
+            from pcss_unet_tpu.ops.int8 import dynamic_int8_conv
+
+            # materialize params on a probe (same tree as the float path)
+            probe = jnp.zeros((1, 1, 1, in_ch), self.dtype)
+            conv_b(conv_a(probe))
+            pa = conv_a.variables["params"]
+            pb = conv_b.variables["params"]
+            h = act(dynamic_int8_conv(x.astype(self.dtype), pa["kernel"],
+                                      pa["bias"], out_dtype=jnp.float32)
+                    ).astype(self.dtype)
+            out = dynamic_int8_conv(h, pb["kernel"], pb["bias"],
+                                    out_dtype=jnp.float32)
+            return act(out).astype(self.dtype)
         if self._fusable(x, train):
             from pcss_unet_tpu.ops.pallas.convblock import fused_conv_block_nhwc
 
@@ -196,10 +226,12 @@ class UNet(nn.Module):
     # (Unetmodel.py:140-141) into ONE contraction per axis — an exact
     # composition of the two linear maps, ~6× fewer resize FLOPs at 1080p.
     fold_head_resize: bool = True
-    # Deployment fast path (see ConvBlock.fused_inference): route eligible
-    # small-channel folded-BN blocks through the fused Pallas kernel.
+    # Deployment fast paths (see ConvBlock.fused_inference /
+    # ConvBlock.int8_inference): small-channel folded-BN blocks through the
+    # fused Pallas kernel; ≥128-channel blocks through dynamic-int8 convs.
     fused_inference: bool = False
     pallas_interpret: bool = False
+    int8_inference: bool = False
 
     def _block(self, features, dropout, name, dilation=1):
         return ConvBlock(
@@ -214,6 +246,7 @@ class UNet(nn.Module):
             bn_axis_name=self.bn_axis_name,
             fused_inference=self.fused_inference,
             pallas_interpret=self.pallas_interpret,
+            int8_inference=self.int8_inference,
             name=name,
         )
 
@@ -257,6 +290,7 @@ class UNet(nn.Module):
             bn_axis_name=self.bn_axis_name,
             fused_inference=self.fused_inference,
             pallas_interpret=self.pallas_interpret,
+            int8_inference=self.int8_inference,
             name=f"enc_{depth-1}",
         )(x, train)
 

@@ -1,0 +1,75 @@
+"""Dynamic-int8 serving path (ops/int8.py + ConvBlock.int8_inference):
+quantization math, conv equivalence at int8 tolerance, whole-model engine
+path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pcss_unet_tpu.ops.int8 import (
+    dynamic_int8_conv, quantize_kernel_int8, quantize_tensor_int8,
+)
+
+
+def test_quantize_roundtrip_error_bound(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
+    q, scale = quantize_tensor_int8(x)
+    assert q.dtype == jnp.int8
+    err = np.abs(np.asarray(q, np.float32) * float(scale) - np.asarray(x))
+    assert err.max() <= float(scale) / 2 + 1e-7  # round-to-nearest bound
+
+
+def test_kernel_per_channel_scales(rng):
+    k = rng.standard_normal((3, 3, 8, 4)).astype(np.float32)
+    k[..., 2] *= 100.0  # one hot output channel must not crush the others
+    q, scales = quantize_kernel_int8(jnp.asarray(k))
+    assert scales.shape == (4,)
+    deq = np.asarray(q, np.float32) * np.asarray(scales)
+    for c in range(4):
+        np.testing.assert_allclose(deq[..., c], k[..., c],
+                                   atol=float(scales[c]) / 2 + 1e-7)
+
+
+def test_int8_conv_close_to_float(rng):
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 32, 16)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(16).astype(np.float32) * 0.1)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    got = dynamic_int8_conv(x, k, b)
+    # int8 tolerance: ~1% of the dynamic range per operand
+    rel = np.abs(np.asarray(got - ref)) / (np.abs(np.asarray(ref)) + 1.0)
+    assert rel.mean() < 0.02, rel.mean()
+
+
+def test_model_int8_path_close_to_plain(rng):
+    """Whole-model: folded-BN UNet with int8_inference ≈ the float graph
+    (sigmoid-mask output, so int8 noise stays small in absolute terms)."""
+    from pcss_unet_tpu.infer import InferenceEngine
+    from pcss_unet_tpu.models import UNet
+
+    # widths chosen so the ≥256-channel gate actually fires: the decoder
+    # block after the 256-wide bottleneck sees a 256-channel input
+    model = UNet(encoder_widths=(64, 256), dtype=jnp.float32,
+                 dropout_rate=0.0)
+    key = jax.random.PRNGKey(2)
+    variables = model.init({"params": key, "dropout": key},
+                           jnp.zeros((1, 32, 32, 4)), True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    frame = rng.standard_normal((48, 64, 4)).astype(np.float32)
+    plain = InferenceEngine(model, variables, dtype=jnp.float32,
+                            fold_bn=True, use_pallas=False)(frame)
+    q = InferenceEngine(model, variables, dtype=jnp.float32,
+                        fold_bn=True, use_pallas=False,
+                        quantize="int8")(frame)
+    mse = float(np.mean((plain - q) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 30.0, psnr
+    # misuse guard: int8 without folding is an error
+    import pytest
+
+    with pytest.raises(ValueError):
+        InferenceEngine(model, variables, dtype=jnp.float32,
+                        quantize="int8")
