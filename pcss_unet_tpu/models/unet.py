@@ -159,6 +159,12 @@ class ConvBlock(nn.Module):
                          dtype=self.dtype, param_dtype=self.param_dtype,
                          name="conv_b")
         if self._int8able(x, train):
+            # XLA int8 convs deliberately, NOT the Pallas int8 kernel
+            # (ops/pallas/conv3x3_int8.py): the kernel wins standalone
+            # (3.30 vs 3.72 ms at the 512-ch decoder shape) but IN-MODEL
+            # XLA fuses quantize/dequant/activation across neighbouring
+            # ops, which a custom-call boundary breaks — measured 42.4 fps
+            # (kernel) vs 49.0 fps (XLA) end-to-end (BENCHMARKS.md).
             from pcss_unet_tpu.ops.int8 import dynamic_int8_conv
 
             # materialize params on a probe (same tree as the float path)

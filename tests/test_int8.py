@@ -43,6 +43,59 @@ def test_int8_conv_close_to_float(rng):
     assert rel.mean() < 0.02, rel.mean()
 
 
+def test_pallas_int8_conv_kernel_exact(rng):
+    """ops/pallas/conv3x3_int8.py ≡ an emulation of its per-band
+    quantize-in-kernel scheme built from XLA int8 convs (interpreter mode;
+    the same kernel compiles on TPU).  Pins the int32 accumulation, the
+    band-halo handling, and the per-band scale semantics."""
+    from jax import lax
+
+    from pcss_unet_tpu.ops.pallas.conv3x3_int8 import (
+        conv3x3_int8_nhwc, pick_tiles,
+    )
+
+    N, H, W, C, Co = 1, 8, 16, 128, 256
+    x = rng.standard_normal((N, H, W, C)).astype(np.float32)
+    k = rng.integers(-127, 127, (3, 3, C, Co)).astype(np.int8)
+    w_scales = rng.random(Co).astype(np.float32) * 1e-2
+    bias = rng.standard_normal(Co).astype(np.float32) * 0.1
+    k_rows, co_tile = pick_tiles(H, W, C, Co)
+
+    # emulation: quantize each row band (incl. its vertical halo rows,
+    # zeros at the frame edges) with its own scale, then int8-conv it
+    xp = np.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    ref = np.zeros((N, H, W, Co), np.float32)
+    for b0 in range(0, H, k_rows):
+        ext = xp[:, b0:b0 + k_rows + 2]              # [N, k+2, W, C]
+        a = np.abs(ext).max() / 127.0 + 1e-12
+        extq = np.clip(np.round(ext / a), -127, 127).astype(np.int8)
+        acc = lax.conv_general_dilated(
+            jnp.asarray(extq), jnp.asarray(k), (1, 1),
+            [(0, 0), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)        # [N, k, W, Co]
+        band = np.asarray(acc, np.float32) * (a * w_scales) + bias
+        ref[:, b0:b0 + k_rows] = np.where(band >= 0, band, band * 0.2)
+
+    got = np.asarray(conv3x3_int8_nhwc(
+        jnp.asarray(x), jnp.asarray(k.reshape(9, C, Co)),
+        jnp.asarray(w_scales), jnp.asarray(bias), k_rows=k_rows,
+        co_tile=co_tile, negative_slope=0.2, out_dtype=jnp.float32,
+        interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_pick_tiles_constraints():
+    from pcss_unet_tpu.ops.pallas.conv3x3_int8 import pick_tiles
+
+    assert pick_tiles(272, 480, 512, 512) is not None   # dec_1 @1080p
+    assert pick_tiles(136, 240, 1024, 1024) is not None  # dec_0 @1080p
+    assert pick_tiles(101, 480, 512, 512) is None        # odd H not tileable
+    assert pick_tiles(272, 480, 96, 512) is None         # C not lane-aligned
+
+
+
+
 def test_model_int8_path_close_to_plain(rng):
     """Whole-model: folded-BN UNet with int8_inference ≈ the float graph
     (sigmoid-mask output, so int8 noise stays small in absolute terms)."""
