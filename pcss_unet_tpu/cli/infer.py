@@ -32,6 +32,13 @@ def main(argv=None) -> None:
     p.add_argument("--tile", type=int, default=0,
                    help=">0 → halo-tiled inference with this tile size")
     p.add_argument("--halo", type=int, default=32)
+    p.add_argument("--fold_bn", action="store_true",
+                   help="deployment posture: fold BatchNorm into the convs "
+                        "(exact at eval) and enable the fused Pallas "
+                        "ConvBlock path on TPU")
+    p.add_argument("--quantize", choices=["none", "int8"], default="none",
+                   help="int8: dynamic-int8 convs for the MXU-bound "
+                        "stages (requires --fold_bn; docs/BENCHMARKS.md)")
     args = p.parse_args(argv)
     setup_logger()
 
@@ -49,7 +56,8 @@ def main(argv=None) -> None:
         means, stds = load_channel_stats(args.stats_dir)
     engine = InferenceEngine(model, variables, means=means, stds=stds,
                              dtype=jnp.dtype(args.dtype),
-                             pad_multiple=cfg.pad_multiple)
+                             pad_multiple=cfg.pad_multiple,
+                             fold_bn=args.fold_bn, quantize=args.quantize)
 
     frame = read_exr_stack(args.input)
     t0 = time.perf_counter()

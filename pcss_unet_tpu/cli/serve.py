@@ -23,6 +23,9 @@ def main(argv=None) -> None:
     p.add_argument("--decode_workers", type=int, default=4)
     p.add_argument("--fold_bn", action="store_true", default=True)
     p.add_argument("--no_fold_bn", dest="fold_bn", action="store_false")
+    p.add_argument("--quantize", choices=["none", "int8"], default="none",
+                   help="int8: dynamic-int8 convs for the MXU-bound "
+                        "stages (requires fold_bn; docs/BENCHMARKS.md)")
     args = p.parse_args(argv)
     setup_logger()
 
@@ -41,7 +44,8 @@ def main(argv=None) -> None:
     if args.stats_dir:
         means, stds = load_channel_stats(args.stats_dir)
     engine = InferenceEngine(model, variables, means=means, stds=stds,
-                             dtype=jnp.bfloat16, fold_bn=args.fold_bn)
+                             dtype=jnp.bfloat16, fold_bn=args.fold_bn,
+                             quantize=args.quantize)
     server = ShadowServer(engine, batch_size=args.batch,
                           decode_workers=args.decode_workers)
 

@@ -62,6 +62,52 @@ def render_frame(rng: np.random.Generator, h: int, w: int):
             np.clip(soft, 0, 1))
 
 
+def render_sequence(rng: np.random.Generator, h: int, w: int, frames: int):
+    """Temporally coherent animation: the same occluder discs move along
+    straight paths over a static background, with exact per-pixel motion
+    vectors for the shadowed content.
+
+    Returns (list of (gbuf, soft), mv [T-1, H, W, 2] float32 (dy, dx) in
+    pixels — the displacement from t-1 to t of the content at each pixel
+    of frame t, i.e. exactly what ``losses/temporal.py:_warp`` consumes).
+    """
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    yy_n = yy / h
+    xx_n = xx / w
+    phase1, phase2 = rng.uniform(0, 6.28), rng.uniform(0, 3)
+    depth = 0.4 + 0.5 * yy_n + 0.05 * np.sin(xx_n * 9 + phase1)
+    normal_dot = np.clip(0.6 + 0.4 * np.cos(yy_n * 3 + phase2), 0, 1)
+
+    n_discs = int(rng.integers(2, 5))
+    c0 = rng.uniform(0.2, 0.8, (n_discs, 2))            # (cy, cx) normalized
+    vel = rng.uniform(-2.0, 2.0, (n_discs, 2))          # pixels / frame
+    radius = rng.uniform(0.06, 0.15, n_discs)
+    height_ = rng.uniform(0.1, 0.5, n_discs)
+
+    seq = []
+    mv = np.zeros((max(frames - 1, 0), h, w, 2), np.float32)
+    for t in range(frames):
+        hard = np.ones((h, w), np.float32)
+        occ = np.zeros((h, w), np.float32)
+        soft = np.ones((h, w), np.float32)
+        for i in range(n_discs):
+            cy = c0[i, 0] + vel[i, 0] * t / h
+            cx = c0[i, 1] + vel[i, 1] * t / w
+            d2 = (yy_n - cy) ** 2 + ((xx_n - cx) * w / h) ** 2
+            disc = d2 < radius[i] ** 2
+            hard[disc] = 0.0
+            occ = np.maximum(occ, disc * height_[i])
+            k = max(1, int(height_[i] * 40))
+            shadow = box_blur((~disc).astype(np.float32), k)
+            soft = np.minimum(soft, shadow)
+            if t > 0:
+                # content in this disc's penumbra moved with the disc
+                mv[t - 1][shadow < 0.999] = vel[i]
+        seq.append((np.stack([depth, normal_dot, hard, occ], -1),
+                    np.clip(soft, 0, 1)))
+    return seq, mv
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="./scene")
@@ -69,6 +115,11 @@ def main() -> None:
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--animate", action="store_true",
+                   help="also write an animated sequence with ground-truth "
+                        "motion vectors: <out>/sequence/*.exr, "
+                        "<out>/sequence_gt/*.png, <out>/motion.npy "
+                        "([T-1,H,W,2] (dy,dx) px — cli.temporal input)")
     args = p.parse_args()
 
     from PIL import Image
@@ -88,6 +139,22 @@ def main() -> None:
         Image.fromarray((soft * 255).astype(np.uint8), "L").save(
             os.path.join(png_dir, f"frame{i:04d}.png"))
     print(f"wrote {args.frames} frames to {args.out}")
+
+    if args.animate:
+        seq_dir = os.path.join(args.out, "sequence")
+        gt_dir = os.path.join(args.out, "sequence_gt")
+        os.makedirs(seq_dir, exist_ok=True)
+        os.makedirs(gt_dir, exist_ok=True)
+        seq, mv = render_sequence(rng, args.height, args.width, args.frames)
+        for i, (gbuf, soft) in enumerate(seq):
+            write_exr(os.path.join(seq_dir, f"frame{i:04d}.exr"),
+                      {"R": gbuf[..., 0], "G": gbuf[..., 1],
+                       "B": gbuf[..., 2], "A": gbuf[..., 3]})
+            Image.fromarray((soft * 255).astype(np.uint8), "L").save(
+                os.path.join(gt_dir, f"frame{i:04d}.png"))
+        np.save(os.path.join(args.out, "motion.npy"), mv)
+        print(f"wrote animated sequence ({args.frames} frames + motion "
+              f"vectors) to {seq_dir}")
 
 
 if __name__ == "__main__":

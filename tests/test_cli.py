@@ -107,6 +107,15 @@ def test_cli_full_chain(workdir, capsys):
                     "--config", f"{root}/tiny.ini", "--tile", "16",
                     "--halo", "4", "--dtype", "float32"])
     assert os.path.exists(f"{root}/mask_tiled.png")
+    # deployment posture: folded BN + int8 serving mode through the CLI
+    cli_infer.main(["--input", f"{root}/data/train/{pair}",
+                    "--output", f"{root}/mask_deploy.png",
+                    "--weights", f"{root}/ckpt/{best}",
+                    "--config", f"{root}/tiny.ini",
+                    "--stats_dir", f"{root}/processed",
+                    "--dtype", "float32", "--fold_bn", "--quantize", "int8"])
+    deploy = np.asarray(Image.open(f"{root}/mask_deploy.png"), np.float32)
+    np.testing.assert_allclose(deploy / 255.0, mask / 255.0, atol=0.05)
     # consistency validation
     cli_validate.main(["--weights", f"{root}/ckpt/{best}",
                        "--input", f"{root}/data/train/{pair}",

@@ -46,6 +46,49 @@ def test_temporal_cli(tmp_path, npz_weights, capsys):
     assert len(os.listdir(tmp_path / "masks")) == 3
 
 
+def test_animated_sequence_motion_vectors(tmp_path, npz_weights, capsys):
+    """The synthetic animated sequence + its ground-truth motion vectors
+    (scripts/make_synthetic_scene.py --animate): warping with the exact
+    motion must LOWER the measured instability of the ground-truth masks
+    (the reference's stubbed motion branch, pert_loss.py:187-190, done for
+    real), and cli.temporal consumes the same artifacts end to end."""
+    import subprocess
+    import sys
+
+    import jax.numpy as jnp2
+
+    from pcss_unet_tpu.losses import measure_temporal_instability
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts/make_synthetic_scene.py"),
+         "--out", str(tmp_path / "scene"), "--frames", "6",
+         "--height", "48", "--width", "64", "--animate"],
+        check=True, cwd=repo)
+    seq_dir = tmp_path / "scene" / "sequence"
+    gt_dir = tmp_path / "scene" / "sequence_gt"
+    mv_path = tmp_path / "scene" / "motion.npy"
+    assert len(os.listdir(seq_dir)) == 6
+    mv = np.load(mv_path)
+    assert mv.shape == (5, 48, 64, 2)
+    assert np.abs(mv).max() > 0  # discs actually move
+
+    from PIL import Image
+
+    gt = np.stack([np.asarray(Image.open(gt_dir / f), np.float32) / 255.0
+                   for f in sorted(os.listdir(gt_dir))])[:, None, :, :, None]
+    raw = float(measure_temporal_instability(jnp2.asarray(gt), None,
+                                             alpha=3.0))
+    warped = float(measure_temporal_instability(
+        jnp2.asarray(gt), jnp2.asarray(mv)[:, None], alpha=3.0))
+    assert warped < raw, (warped, raw)
+
+    cli_temporal.main(["--frames_dir", str(seq_dir),
+                       "--weights", npz_weights,
+                       "--motion_vectors", str(mv_path)])
+    assert "temporal instability" in capsys.readouterr().out
+
+
 def test_inspect_cli(tmp_path, capsys):
     ini = tmp_path / "c.ini"
     ini.write_text("[base]\nmodel_depth=3\nbase_width=8\n"
