@@ -125,6 +125,17 @@ class ConvBlock(nn.Module):
             return x
         return norm(x)
 
+    def _fusable128(self, x: jax.Array, train: bool) -> bool:
+        # NHWC-native whole-block kernel for the 128-channel stages
+        # (ops/pallas/convblock128.py; dec_2 at 544×960 measures 1.29× —
+        # the hidden activation never leaves VMEM).  Shape constraints are
+        # checked via pick_k_rows_128 at trace time.
+        return (self.fused_inference and not train
+                and self.normalization == "none"
+                and self.activation == "leaky_relu"
+                and not self.apply_dilation
+                and x.shape[-1] == 128 and self.features <= 128)
+
     def _fusable(self, x: jax.Array, train: bool) -> bool:
         # cin ≤ 64: where XLA leaves the bandwidth gap (measured speedups
         # 1.09-1.29×, docs/BENCHMARKS.md "Pallas fused ConvBlock"); at
@@ -138,13 +149,19 @@ class ConvBlock(nn.Module):
                 and x.shape[-1] <= 64 and self.features <= 128)
 
     def _int8able(self, x: jax.Array, train: bool) -> bool:
-        # cin ≥ 256: only the genuinely MXU-bound blocks (enc_3/dec_0/dec_1
-        # at 1080p).  The 128-channel stages are bandwidth-bound — dynamic
-        # quantization there ADDS full-frame passes and measured a net loss.
+        # cin ≥ 256: only the genuinely MXU-bound blocks.  The 128-channel
+        # stages are bandwidth-bound — dynamic quantization there ADDS
+        # full-frame passes and measured a net loss.  cin·cout ≥ 2^18
+        # additionally excludes wide-in/narrow-out blocks (dec_1,
+        # 512→…→128): quantizing the block that FEEDS the 128-channel
+        # Pallas block kernel triggered a pathological layout interaction
+        # (69 ms/frame vs 20); excluding it measures fastest overall
+        # (50.2 fps vs 48.7/48.9 for the broader gates — BENCHMARKS.md).
         return (self.int8_inference and not train
                 and self.normalization == "none"
                 and not self.apply_dilation
-                and x.shape[-1] >= 256)
+                and x.shape[-1] >= 256
+                and x.shape[-1] * self.features >= 2 ** 18)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -178,6 +195,27 @@ class ConvBlock(nn.Module):
             out = dynamic_int8_conv(h, pb["kernel"], pb["bias"],
                                     out_dtype=jnp.float32)
             return act(out).astype(self.dtype)
+        if self._fusable128(x, train):
+            from pcss_unet_tpu.ops.pallas import pallas_available
+            from pcss_unet_tpu.ops.pallas.convblock128 import (
+                fused_block128_nhwc, pick_k_rows_128,
+            )
+
+            k_rows = pick_k_rows_128(x.shape[1], x.shape[2], in_ch,
+                                     self.features)
+            if k_rows and (self.pallas_interpret or pallas_available()):
+                probe = jnp.zeros((1, 1, 1, in_ch), self.dtype)
+                conv_b(conv_a(probe))
+                pa = conv_a.variables["params"]
+                pb = conv_b.variables["params"]
+                ka = pa["kernel"].astype(self.dtype)
+                w1 = ka.reshape(9, *ka.shape[2:])
+                b1 = pa["bias"].astype(jnp.float32)
+                w2 = pb["kernel"][0, 0].astype(self.dtype)
+                b2 = pb["bias"].astype(jnp.float32)
+                return fused_block128_nhwc(
+                    x.astype(self.dtype), w1, b1, w2, b2, k_rows=k_rows,
+                    negative_slope=0.2, interpret=self.pallas_interpret)
         if self._fusable(x, train):
             from pcss_unet_tpu.ops.pallas.convblock import fused_conv_block_nhwc
 

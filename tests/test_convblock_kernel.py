@@ -85,6 +85,47 @@ def test_model_fused_inference_path_matches_plain(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_fused_block128_matches_xla(rng):
+    """NHWC-native whole-block kernel for 128-channel stages
+    (ops/pallas/convblock128.py) ≡ the XLA composition."""
+    from pcss_unet_tpu.ops.pallas.convblock128 import (
+        fused_block128_nhwc, pack_block128_params, pick_k_rows_128,
+    )
+
+    cin, cout, h, w = 128, 64, 16, 24
+    params = _make_params(rng, cin, cin, cout)
+    x = jnp.asarray(rng.standard_normal((1, h, w, cin)).astype(np.float32))
+    ref = np.asarray(_xla_block(x, params))
+    w1, b1, w2, b2 = pack_block128_params(params, dtype=jnp.float32)
+    k = pick_k_rows_128(h, w, cin, cout)
+    assert k is not None
+    got = np.asarray(fused_block128_nhwc(x, w1, b1, w2, b2, k_rows=k,
+                                         interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_model_block128_path_matches_plain(rng):
+    """Whole-model: the dec block after a 128-wide bottleneck takes the
+    block128 kernel path (interpreted on CPU) ≡ the plain XLA graph."""
+    from pcss_unet_tpu.infer import InferenceEngine
+    from pcss_unet_tpu.models import UNet
+
+    model = UNet(encoder_widths=(64, 128), dtype=jnp.float32,
+                 dropout_rate=0.0)
+    key = jax.random.PRNGKey(4)
+    variables = model.init({"params": key, "dropout": key},
+                           jnp.zeros((1, 32, 32, 4)), True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    frame = rng.standard_normal((48, 64, 4)).astype(np.float32)
+    plain = InferenceEngine(model, variables, dtype=jnp.float32,
+                            fold_bn=True, use_pallas=False)(frame)
+    fused = InferenceEngine(model, variables, dtype=jnp.float32,
+                            fold_bn=True, use_pallas=False,
+                            pallas_interpret=True)(frame)
+    np.testing.assert_allclose(fused, plain, rtol=1e-4, atol=1e-4)
+
+
 def test_fused_convblock_batched(rng):
     params = _make_params(rng, 16, 16, 32)
     x = jnp.asarray(rng.standard_normal((3, 16, 32, 16)).astype(np.float32))

@@ -102,9 +102,10 @@ def test_model_int8_path_close_to_plain(rng):
     from pcss_unet_tpu.infer import InferenceEngine
     from pcss_unet_tpu.models import UNet
 
-    # widths chosen so the ≥256-channel gate actually fires: the decoder
-    # block after the 256-wide bottleneck sees a 256-channel input
-    model = UNet(encoder_widths=(64, 256), dtype=jnp.float32,
+    # widths chosen so the int8 gate (cin ≥ 256 AND cin·cout ≥ 2^18)
+    # actually fires: the decoder block after the 1024-wide bottleneck
+    # sees a 1024-channel input with 256 output features
+    model = UNet(encoder_widths=(256, 1024), dtype=jnp.float32,
                  dropout_rate=0.0)
     key = jax.random.PRNGKey(2)
     variables = model.init({"params": key, "dropout": key},
