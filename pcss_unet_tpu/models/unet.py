@@ -151,17 +151,25 @@ class ConvBlock(nn.Module):
     def _int8able(self, x: jax.Array, train: bool) -> bool:
         # cin ≥ 256: only the genuinely MXU-bound blocks.  The 128-channel
         # stages are bandwidth-bound — dynamic quantization there ADDS
-        # full-frame passes and measured a net loss.  cin·cout ≥ 2^18
-        # additionally excludes wide-in/narrow-out blocks (dec_1,
-        # 512→…→128): quantizing the block that FEEDS the 128-channel
-        # Pallas block kernel triggered a pathological layout interaction
-        # (69 ms/frame vs 20); excluding it measures fastest overall
-        # (50.2 fps vs 48.7/48.9 for the broader gates — BENCHMARKS.md).
+        # full-frame passes and measured a net loss.  int8 runs ONLY via
+        # the whole-block Pallas kernel (bf16 at every boundary): XLA int8
+        # convs were measured and RETIRED from the model — any XLA int8 op
+        # whose consumer chain reaches a Pallas custom call triggers a
+        # pathological layout interaction (69 ms/frame vs 18;
+        # BENCHMARKS.md "int8 serving"), and the kernels-only posture
+        # benches fastest (55.3 vs 50.4 fps).
         return (self.int8_inference and not train
                 and self.normalization == "none"
+                and self.activation == "leaky_relu"
                 and not self.apply_dilation
                 and x.shape[-1] >= 256
-                and x.shape[-1] * self.features >= 2 ** 18)
+                # dec_1 class (wide-in/narrow-out) and dec_0 class
+                # (≥1024-in, k-chunked kernel).  enc_3 (512→…→1024) stays
+                # on the plain bf16 path: routing it through the kernel
+                # measures 54.2 fps vs 55.3 — its standalone win (1.30→
+                # 1.15 ms) does not survive the extra custom call.
+                and (x.shape[-1] * self.features < 2 ** 18
+                     or x.shape[-1] >= 1024))
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -176,25 +184,44 @@ class ConvBlock(nn.Module):
                          dtype=self.dtype, param_dtype=self.param_dtype,
                          name="conv_b")
         if self._int8able(x, train):
-            # XLA int8 convs deliberately, NOT the Pallas int8 kernel
-            # (ops/pallas/conv3x3_int8.py): the kernel wins standalone
-            # (3.30 vs 3.72 ms at the 512-ch decoder shape) but IN-MODEL
-            # XLA fuses quantize/dequant/activation across neighbouring
-            # ops, which a custom-call boundary breaks — measured 42.4 fps
-            # (kernel) vs 49.0 fps (XLA) end-to-end (BENCHMARKS.md).
-            from pcss_unet_tpu.ops.int8 import dynamic_int8_conv
+            # whole-block int8 Pallas kernel (bf16 at every boundary;
+            # dec_1 5.71 → 3.31 ms standalone).  Blocks it cannot fit
+            # (dec_0's 1024-ch weights exceed VMEM) stay on the exact bf16
+            # float path — measured faster than XLA int8 there once any
+            # Pallas custom call exists downstream (BENCHMARKS.md).
+            from pcss_unet_tpu.ops.int8 import quantize_kernel_int8
+            from pcss_unet_tpu.ops.pallas import pallas_available
+            from pcss_unet_tpu.ops.pallas.block_int8 import (
+                fused_block_int8_kchunked, fused_block_int8_nhwc,
+                pick_k_rows_int8, pick_kchunked,
+            )
 
-            # materialize params on a probe (same tree as the float path)
-            probe = jnp.zeros((1, 1, 1, in_ch), self.dtype)
-            conv_b(conv_a(probe))
-            pa = conv_a.variables["params"]
-            pb = conv_b.variables["params"]
-            h = act(dynamic_int8_conv(x.astype(self.dtype), pa["kernel"],
-                                      pa["bias"], out_dtype=jnp.float32)
-                    ).astype(self.dtype)
-            out = dynamic_int8_conv(h, pb["kernel"], pb["bias"],
-                                    out_dtype=jnp.float32)
-            return act(out).astype(self.dtype)
+            k = pick_k_rows_int8(x.shape[1], x.shape[2], in_ch,
+                                 self.features)
+            kc = (None if k else
+                  pick_kchunked(x.shape[1], x.shape[2], in_ch,
+                                self.features))
+            if (k or kc) and (self.pallas_interpret or pallas_available()):
+                probe = jnp.zeros((1, 1, 1, in_ch), self.dtype)
+                conv_b(conv_a(probe))
+                pa = conv_a.variables["params"]
+                pb = conv_b.variables["params"]
+                w1q, s1 = quantize_kernel_int8(pa["kernel"])
+                w2q, s2 = quantize_kernel_int8(pb["kernel"])
+                args = (x.astype(self.dtype),
+                        w1q.reshape(9, *w1q.shape[2:]), s1,
+                        pa["bias"].astype(jnp.float32),
+                        w2q[0, 0], s2, pb["bias"].astype(jnp.float32))
+                if k:
+                    return fused_block_int8_nhwc(
+                        *args, k_rows=k, negative_slope=0.2,
+                        interpret=self.pallas_interpret)
+                # dec_0 class: weights exceed VMEM in one piece → the
+                # contraction-chunked variant (5.16 → 3.36 ms standalone)
+                return fused_block_int8_kchunked(
+                    *args, k_rows=kc[0], c_chunk=kc[1],
+                    negative_slope=0.2, interpret=self.pallas_interpret)
+            # no eligible kernel → keep the exact float path (fall through)
         if self._fusable128(x, train):
             from pcss_unet_tpu.ops.pallas import pallas_available
             from pcss_unet_tpu.ops.pallas.convblock128 import (

@@ -74,8 +74,9 @@ def _kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 def pick_k_rows_128(h: int, w: int, c: int, cout: int) -> int | None:
     """Largest VMEM-fitting band height, or None if the shape doesn't meet
-    the kernel's constraints."""
-    if c % 128 or cout % 64 or cout > c:
+    the kernel's constraints.  Weight blocks have constant index maps so
+    the Pallas pipeline keeps a single buffer for them."""
+    if c % 128 or cout % 64:
         return None
     budget = 14 * 1024 * 1024
     for k in (8, 4, 2):
@@ -88,7 +89,7 @@ def pick_k_rows_128(h: int, w: int, c: int, cout: int) -> int | None:
         hbuf = k * w * c * 2
         acc2 = k * w * cout * 4
         out = 2 * k * w * cout * 2
-        wgt = 2 * (9 * c * c + c * cout) * 2
+        wgt = (9 * c * c + c * cout) * 2
         if bands + ext + taps + acc + hbuf + acc2 + out + wgt <= budget:
             return k
     return None

@@ -96,16 +96,86 @@ def test_pick_tiles_constraints():
 
 
 
+def _xla_block(x, params, slope=0.2):
+    import flax.linen as nn
+
+    a = jax.lax.conv_general_dilated(
+        x, jnp.asarray(params["conv_a"]["kernel"], x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    a = nn.leaky_relu(a + jnp.asarray(params["conv_a"]["bias"], x.dtype),
+                      negative_slope=slope)
+    b = jax.lax.conv_general_dilated(
+        a, jnp.asarray(params["conv_b"]["kernel"], x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return nn.leaky_relu(b + jnp.asarray(params["conv_b"]["bias"], x.dtype),
+                         negative_slope=slope)
+
+
+def _block_params(rng, c, co):
+    return {
+        "conv_a": {"kernel": rng.standard_normal(
+            (3, 3, c, c)).astype(np.float32) * 0.05,
+            "bias": rng.standard_normal(c).astype(np.float32) * 0.1},
+        "conv_b": {"kernel": rng.standard_normal(
+            (1, 1, c, co)).astype(np.float32) * 0.05,
+            "bias": rng.standard_normal(co).astype(np.float32) * 0.1},
+    }
+
+
+def test_whole_block_int8_kernel(rng):
+    """ops/pallas/block_int8.py ≈ the float block within int8 noise
+    (interpreter mode; same kernel compiles on TPU).  Also pins the VMEM
+    pickers for the deployment shapes."""
+    from pcss_unet_tpu.ops.pallas.block_int8 import (
+        fused_block_int8_nhwc, pack_block_int8_params, pick_k_rows_int8,
+        pick_kchunked,
+    )
+
+    c, co, h, w = 128, 64, 8, 16
+    params = _block_params(rng, c, co)
+    x = jnp.asarray(rng.standard_normal((1, h, w, c)).astype(np.float32))
+    ref = np.asarray(_xla_block(x, params))
+    k = pick_k_rows_int8(h, w, c, co)
+    got = np.asarray(fused_block_int8_nhwc(
+        x, *pack_block_int8_params(params), k_rows=k, interpret=True))
+    rel = np.abs(got - ref) / (np.abs(ref) + 0.5)
+    assert rel.mean() < 0.02, rel.mean()
+    # deployment shapes at 1080p
+    assert pick_k_rows_int8(272, 480, 512, 128) is not None   # dec_1
+    assert pick_k_rows_int8(136, 240, 1024, 512) is None      # dec_0: 9.4MB w
+    assert pick_kchunked(136, 240, 1024, 512) is not None     # → k-chunked
+
+
+def test_kchunked_block_int8_kernel(rng):
+    """Contraction-chunked variant ≡ the plain whole-block scheme up to
+    per-chunk activation scales (tolerance vs the float block)."""
+    from pcss_unet_tpu.ops.pallas.block_int8 import (
+        fused_block_int8_kchunked, pack_block_int8_params, pick_kchunked,
+    )
+
+    c, co, h, w = 256, 64, 4, 32
+    params = _block_params(rng, c, co)
+    x = jnp.asarray(rng.standard_normal((1, h, w, c)).astype(np.float32))
+    ref = np.asarray(_xla_block(x, params))
+    k, _ = pick_kchunked(h, w, c, co)
+    cc = 128  # force 2 chunks so multi-chunk accumulation is exercised
+    got = np.asarray(fused_block_int8_kchunked(
+        x, *pack_block_int8_params(params), k_rows=k, c_chunk=cc,
+        interpret=True))
+    rel = np.abs(got - ref) / (np.abs(ref) + 0.5)
+    assert rel.mean() < 0.02, rel.mean()
+
+
 def test_model_int8_path_close_to_plain(rng):
     """Whole-model: folded-BN UNet with int8_inference ≈ the float graph
     (sigmoid-mask output, so int8 noise stays small in absolute terms)."""
     from pcss_unet_tpu.infer import InferenceEngine
     from pcss_unet_tpu.models import UNet
 
-    # widths chosen so the int8 gate (cin ≥ 256 AND cin·cout ≥ 2^18)
-    # actually fires: the decoder block after the 1024-wide bottleneck
-    # sees a 1024-channel input with 256 output features
-    model = UNet(encoder_widths=(256, 1024), dtype=jnp.float32,
+    # widths chosen so the int8 gate (cin ≥ 256, wide-in/narrow-out)
+    # actually fires: the decoder block after the 256-wide bottleneck
+    # sees a 256-channel input with 64 output features
+    model = UNet(encoder_widths=(64, 256), dtype=jnp.float32,
                  dropout_rate=0.0)
     key = jax.random.PRNGKey(2)
     variables = model.init({"params": key, "dropout": key},
