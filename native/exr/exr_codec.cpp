@@ -4,7 +4,8 @@
 // C++ bindings (reference setdata.py:42-58); this is the framework's own
 // native decoder/encoder covering the subset the pipeline uses:
 //   - single-part scanline files, version 2
-//   - compression NONE(0), RLE(1), ZIPS(2), ZIP(3), PXR24(5)  [zlib]
+//   - single-part ONE_LEVEL tiled files (mipmap/ripmap rejected loudly)
+//   - compression NONE(0), RLE(1), ZIPS(2), ZIP(3), PIZ(4), PXR24(5)
 //   - pixel types UINT(0), HALF(1), FLOAT(2)
 //   - INCREASING_Y line order
 // Exposed as a C ABI consumed via ctypes (pcss_unet_tpu/io/exr.py).  The
@@ -65,20 +66,31 @@ inline float half_to_float(uint16_t h) {
   return f;
 }
 
+// float32 -> half with IEEE round-to-nearest-even (matches numpy's
+// .astype(float16), so both codecs write identical HALF bytes)
 inline uint16_t float_to_half(float f) {
   uint32_t bits;
   std::memcpy(&bits, &f, 4);
   uint32_t sign = (bits >> 16) & 0x8000u;
   int32_t exp = (int32_t)((bits >> 23) & 0xff) - 127 + 15;
   uint32_t mant = bits & 0x7fffffu;
+  if (((bits >> 23) & 0xff) == 0xff)  // inf / NaN
+    return (uint16_t)(sign | 0x7c00u | (mant ? 0x200 : 0));
+  if (exp >= 31) return (uint16_t)(sign | 0x7c00u);  // overflow -> inf
   if (exp <= 0) {
     if (exp < -10) return (uint16_t)sign;
     mant |= 0x800000u;
-    uint32_t shifted = mant >> (1 - exp + 13);
-    return (uint16_t)(sign | shifted);
+    int shift = 14 - exp;
+    uint32_t half_mant = mant >> shift;
+    uint32_t rem = mant & ((1u << shift) - 1);
+    uint32_t halfway = 1u << (shift - 1);
+    if (rem > halfway || (rem == halfway && (half_mant & 1))) ++half_mant;
+    return (uint16_t)(sign | half_mant);  // carry naturally bumps the exp
   }
-  if (exp >= 31) return (uint16_t)(sign | 0x7c00u | (((bits & 0x7f800000u) == 0x7f800000u && mant) ? 0x200 : 0));
-  return (uint16_t)(sign | (exp << 10) | (mant >> 13));
+  uint32_t half = sign | ((uint32_t)exp << 10) | (mant >> 13);
+  uint32_t rem = mant & 0x1fffu;
+  if (rem > 0x1000u || (rem == 0x1000u && (half & 1))) ++half;
+  return (uint16_t)half;
 }
 
 struct Reader {
@@ -90,6 +102,8 @@ struct Reader {
   int32_t xmin = 0, ymin = 0, xmax = 0, ymax = 0;
   int width = 0, height = 0;
   int lines_per_chunk = 1;
+  bool tiled = false;
+  int tile_w = 0, tile_h = 0;
   std::vector<int64_t> chunk_offsets;
   std::string error;
 
@@ -112,9 +126,10 @@ struct Reader {
     if (magic != kMagic) return fail("bad magic (not an EXR file)");
     // version flags: 0x200 tiled, 0x400 long names (ok), 0x800 deep,
     // 0x1000 multi-part
-    if (version & 0x200) return fail("tiled EXR not supported (scanline only)");
+    tiled = (version & 0x200) != 0;
     if (version & 0x800) return fail("deep-data EXR not supported");
     if (version & 0x1000) return fail("multi-part EXR not supported");
+    bool have_tiles = false;
     size_t pos = 8;
     bool have_channels = false, have_dw = false, have_comp = false;
     while (true) {
@@ -153,6 +168,17 @@ struct Reader {
         if (asize < 1) return fail("bad compression");
         compression = payload[0];
         have_comp = true;
+      } else if (name == "tiles") {
+        if (asize < 9) return fail("bad tiles attribute");
+        uint32_t tw, th;
+        std::memcpy(&tw, payload, 4);
+        std::memcpy(&th, payload + 4, 4);
+        uint8_t mode = payload[8];
+        if ((mode & 0xF) != 0)
+          return fail("mipmap/ripmap tiled EXR not supported (ONE_LEVEL only)");
+        tile_w = (int)tw;
+        tile_h = (int)th;
+        have_tiles = true;
       }
       pos += asize;
     }
@@ -169,7 +195,15 @@ struct Reader {
     width = xmax - xmin + 1;
     height = ymax - ymin + 1;
     if (width <= 0 || height <= 0) return fail("empty data window");
-    int n_chunks = (height + lines_per_chunk - 1) / lines_per_chunk;
+    int n_chunks;
+    if (tiled) {
+      if (!have_tiles) return fail("tiled EXR missing 'tiles' attribute");
+      if (tile_w <= 0 || tile_h <= 0) return fail("bad tile size");
+      n_chunks = ((width + tile_w - 1) / tile_w) *
+                 ((height + tile_h - 1) / tile_h);
+    } else {
+      n_chunks = (height + lines_per_chunk - 1) / lines_per_chunk;
+    }
     if (pos + (size_t)n_chunks * 8 > size) return fail("truncated offset table");
     chunk_offsets.resize(n_chunks);
     std::memcpy(chunk_offsets.data(), data + pos, (size_t)n_chunks * 8);
@@ -218,6 +252,133 @@ struct Reader {
     }
   }
 
+  // scratch buffers reused across blocks
+  std::vector<uint8_t> scratch_, raw_;
+
+  // PXR24 stores per-row per-channel byte planes of running-differenced
+  // pixels, zlib-compressed; FLOAT rows are 24-bit (low byte dropped).
+  // Decodes one bw x bh block at (x0, y0), scattering the target channel
+  // into the full-width dst plane.
+  bool pxr24_block(const uint8_t* payload, int csize, int bw, int bh,
+                   int x0, int y0, int target, float* dst) {
+    size_t planes_size = 0;
+    for (auto& ch : channels)
+      planes_size += (size_t)bw *
+          (ch.pixel_type == PT_FLOAT ? 3 : ch.pixel_type == PT_HALF ? 2 : 4)
+          * bh;
+    scratch_.resize(planes_size);
+    uLongf dlen = planes_size;
+    if (uncompress(scratch_.data(), &dlen, payload, csize) != Z_OK ||
+        dlen != planes_size) {
+      error = "pxr24 inflate failed";
+      return false;
+    }
+    size_t pos = 0;
+    for (int line = 0; line < bh; ++line) {
+      for (size_t k = 0; k < channels.size(); ++k) {
+        int cpt = channels[k].pixel_type;
+        int nplanes = cpt == PT_FLOAT ? 3 : cpt == PT_HALF ? 2 : 4;
+        if ((int)k != target) {
+          pos += (size_t)bw * nplanes;
+          continue;
+        }
+        const uint8_t* p = scratch_.data() + pos;
+        float* row = dst + (size_t)(y0 + line) * width + x0;
+        if (cpt == PT_FLOAT) {
+          uint32_t acc = 0;
+          for (int x = 0; x < bw; ++x) {
+            uint32_t diff = ((uint32_t)p[x] << 16) |
+                            ((uint32_t)p[bw + x] << 8) |
+                            (uint32_t)p[2 * bw + x];
+            acc = (acc + diff) & 0xFFFFFFu;
+            uint32_t bits = acc << 8;
+            std::memcpy(&row[x], &bits, 4);
+          }
+        } else if (cpt == PT_HALF) {
+          uint32_t acc = 0;
+          for (int x = 0; x < bw; ++x) {
+            uint32_t diff = ((uint32_t)p[x] << 8) | (uint32_t)p[bw + x];
+            acc = (acc + diff) & 0xFFFFu;
+            row[x] = half_to_float((uint16_t)acc);
+          }
+        } else {
+          uint32_t acc = 0;
+          for (int x = 0; x < bw; ++x) {
+            uint32_t diff = ((uint32_t)p[x] << 24) |
+                            ((uint32_t)p[bw + x] << 16) |
+                            ((uint32_t)p[2 * bw + x] << 8) |
+                            (uint32_t)p[3 * bw + x];
+            acc += diff;
+            row[x] = (float)acc;
+          }
+        }
+        pos += (size_t)bw * nplanes;
+      }
+    }
+    return true;
+  }
+
+  // Decode one compressed block (scanline chunk or tile): bw x bh pixels at
+  // (x0, y0) in the data window; scatter the target channel into dst.
+  bool decode_block(const uint8_t* payload, int csize, int bw, int bh,
+                    int x0, int y0, int target, float* dst) {
+    if (compression == COMP_PXR24)
+      return pxr24_block(payload, csize, bw, bh, x0, y0, target, dst);
+    size_t line_bytes = 0, target_off = 0;
+    for (size_t i = 0; i < channels.size(); ++i) {
+      size_t rb = (size_t)bw * pixel_size(channels[i].pixel_type);
+      if ((int)i < target) target_off += rb;
+      line_bytes += rb;
+    }
+    int pt = channels[target].pixel_type;
+    size_t raw_size = line_bytes * (size_t)bh;
+    const uint8_t* lines_ptr;
+    if (compression == COMP_NONE || (size_t)csize >= raw_size) {
+      lines_ptr = payload;  // stored raw (incompressible block)
+    } else if (compression == COMP_PIZ) {
+      std::vector<piz::ChanDesc> cds(channels.size());
+      for (size_t k = 0; k < channels.size(); ++k)
+        cds[k].u16_size = channels[k].pixel_type == PT_HALF ? 1 : 2;
+      raw_.resize(raw_size);
+      if (!piz::decompress(payload, (size_t)csize, cds, bw, bh,
+                           raw_.data(), &error))
+        return false;
+      lines_ptr = raw_.data();
+    } else if (compression == COMP_RLE) {
+      scratch_.resize(raw_size);
+      if (!rle_decode(payload, csize, scratch_.data(), raw_size)) {
+        error = "RLE decode failed";
+        return false;
+      }
+      undo_zip_transform(scratch_, raw_);
+      lines_ptr = raw_.data();
+    } else {
+      scratch_.resize(raw_size);
+      uLongf dlen = raw_size;
+      if (uncompress(scratch_.data(), &dlen, payload, csize) != Z_OK ||
+          dlen != raw_size) {
+        error = "zlib inflate failed";
+        return false;
+      }
+      undo_zip_transform(scratch_, raw_);
+      lines_ptr = raw_.data();
+    }
+    for (int line = 0; line < bh; ++line) {
+      const uint8_t* src = lines_ptr + line_bytes * line + target_off;
+      float* row = dst + (size_t)(y0 + line) * width + x0;
+      if (pt == PT_FLOAT) {
+        std::memcpy(row, src, (size_t)bw * 4);
+      } else if (pt == PT_HALF) {
+        const uint16_t* hp = (const uint16_t*)src;
+        for (int x = 0; x < bw; ++x) row[x] = half_to_float(hp[x]);
+      } else {  // UINT
+        const uint32_t* up = (const uint32_t*)src;
+        for (int x = 0; x < bw; ++x) row[x] = (float)up[x];
+      }
+    }
+    return true;
+  }
+
   // Decode one channel (by name) into dst [height*width] float32.
   // Returns 1 on success, 0 if the channel is absent, -1 on error.
   int read_channel(const char* cname, float* dst) {
@@ -226,78 +387,36 @@ struct Reader {
       if (channels[i].name == cname) { target = (int)i; break; }
     if (target < 0) return 0;
 
-    std::vector<size_t> row_bytes(channels.size());
-    size_t line_bytes = 0;
-    for (size_t i = 0; i < channels.size(); ++i) {
-      row_bytes[i] = (size_t)width * pixel_size(channels[i].pixel_type);
-      line_bytes += row_bytes[i];
-    }
-    size_t target_off = 0;
-    for (int i = 0; i < target; ++i) target_off += row_bytes[i];
-    int pt = channels[target].pixel_type;
-
-    std::vector<uint8_t> scratch, raw;
-    // PXR24 stores per-row per-channel byte planes of running-differenced
-    // pixels, zlib-compressed; FLOAT rows are 24-bit (low byte dropped).
-    auto pxr24_chunk = [&](const uint8_t* payload, int csize, int y0,
-                           int n_lines, int target, int pt,
-                           float* dst) -> bool {
-      size_t planes_size = 0;
-      for (auto& ch : channels)
-        planes_size += (size_t)width *
-            (ch.pixel_type == PT_FLOAT ? 3 : ch.pixel_type == PT_HALF ? 2 : 4)
-            * n_lines;
-      scratch.resize(planes_size);
-      uLongf dlen = planes_size;
-      if (uncompress(scratch.data(), &dlen, payload, csize) != Z_OK ||
-          dlen != planes_size) {
-        error = "pxr24 inflate failed";
-        return false;
-      }
-      size_t pos = 0;
-      for (int line = 0; line < n_lines; ++line) {
-        for (size_t k = 0; k < channels.size(); ++k) {
-          int cpt = channels[k].pixel_type;
-          int nplanes = cpt == PT_FLOAT ? 3 : cpt == PT_HALF ? 2 : 4;
-          if ((int)k != target) {
-            pos += (size_t)width * nplanes;
-            continue;
-          }
-          const uint8_t* p = scratch.data() + pos;
-          float* row = dst + (size_t)(y0 + line) * width;
-          if (cpt == PT_FLOAT) {
-            uint32_t acc = 0;
-            for (int x = 0; x < width; ++x) {
-              uint32_t diff = ((uint32_t)p[x] << 16) |
-                              ((uint32_t)p[width + x] << 8) |
-                              (uint32_t)p[2 * width + x];
-              acc = (acc + diff) & 0xFFFFFFu;
-              uint32_t bits = acc << 8;
-              std::memcpy(&row[x], &bits, 4);
-            }
-          } else if (cpt == PT_HALF) {
-            uint32_t acc = 0;
-            for (int x = 0; x < width; ++x) {
-              uint32_t diff = ((uint32_t)p[x] << 8) | (uint32_t)p[width + x];
-              acc = (acc + diff) & 0xFFFFu;
-              row[x] = half_to_float((uint16_t)acc);
-            }
-          } else {
-            uint32_t acc = 0;
-            for (int x = 0; x < width; ++x) {
-              uint32_t diff = ((uint32_t)p[x] << 24) |
-                              ((uint32_t)p[width + x] << 16) |
-                              ((uint32_t)p[2 * width + x] << 8) |
-                              (uint32_t)p[3 * width + x];
-              acc += diff;
-              row[x] = (float)acc;
-            }
-          }
-          pos += (size_t)width * nplanes;
+    if (tiled) {
+      for (int64_t off : chunk_offsets) {
+        // tile chunk: dx, dy, levelX, levelY, dataSize, payload
+        if (off < 0 || (size_t)off + 20 > size) {
+          error = "bad tile offset"; return -1;
         }
+        int32_t dx, dy, lx, ly, csize;
+        std::memcpy(&dx, data + off, 4);
+        std::memcpy(&dy, data + off + 4, 4);
+        std::memcpy(&lx, data + off + 8, 4);
+        std::memcpy(&ly, data + off + 12, 4);
+        std::memcpy(&csize, data + off + 16, 4);
+        if (lx || ly) {
+          error = "unexpected tile level in ONE_LEVEL file"; return -1;
+        }
+        if (csize < 0 || (size_t)off + 20 + (size_t)csize > size) {
+          error = "bad tile size"; return -1;
+        }
+        int x0 = dx * tile_w, y0 = dy * tile_h;
+        if (dx < 0 || dy < 0 || x0 >= width || y0 >= height) {
+          error = "bad tile index"; return -1;
+        }
+        int bw = std::min(tile_w, width - x0);
+        int bh = std::min(tile_h, height - y0);
+        if (!decode_block(data + off + 20, csize, bw, bh, x0, y0, target,
+                          dst))
+          return -1;
       }
-      return true;
-    };
+      return 1;
+    }
     for (size_t ci = 0; ci < chunk_offsets.size(); ++ci) {
       int64_t off = chunk_offsets[ci];
       if (off < 0 || (size_t)off + 8 > size) { error = "bad chunk offset"; return -1; }
@@ -307,57 +426,11 @@ struct Reader {
       if (csize < 0 || (size_t)off + 8 + (size_t)csize > size) {
         error = "bad chunk size"; return -1;
       }
-      const uint8_t* payload = data + off + 8;
       int y0 = y - ymin;
       int n_lines = std::min(lines_per_chunk, height - y0);
-      if (compression == COMP_PXR24) {
-        if (!pxr24_chunk(payload, csize, y0, n_lines, target, pt, dst))
-          return -1;
-        continue;
-      }
-      size_t raw_size = line_bytes * (size_t)n_lines;
-      const uint8_t* lines_ptr;
-      if (compression == COMP_NONE || (size_t)csize >= raw_size) {
-        lines_ptr = payload;  // stored raw (incompressible chunk)
-      } else if (compression == COMP_PIZ) {
-        std::vector<piz::ChanDesc> cds(channels.size());
-        for (size_t k = 0; k < channels.size(); ++k)
-          cds[k].u16_size = channels[k].pixel_type == PT_HALF ? 1 : 2;
-        raw.resize(raw_size);
-        if (!piz::decompress(payload, (size_t)csize, cds, width, n_lines,
-                             raw.data(), &error))
-          return -1;
-        lines_ptr = raw.data();
-      } else if (compression == COMP_RLE) {
-        scratch.resize(raw_size);
-        if (!rle_decode(payload, csize, scratch.data(), raw_size)) {
-          error = "RLE decode failed"; return -1;
-        }
-        undo_zip_transform(scratch, raw);
-        lines_ptr = raw.data();
-      } else {
-        scratch.resize(raw_size);
-        uLongf dlen = raw_size;
-        if (uncompress(scratch.data(), &dlen, payload, csize) != Z_OK ||
-            dlen != raw_size) {
-          error = "zlib inflate failed"; return -1;
-        }
-        undo_zip_transform(scratch, raw);
-        lines_ptr = raw.data();
-      }
-      for (int line = 0; line < n_lines; ++line) {
-        const uint8_t* src = lines_ptr + line_bytes * line + target_off;
-        float* row = dst + (size_t)(y0 + line) * width;
-        if (pt == PT_FLOAT) {
-          std::memcpy(row, src, (size_t)width * 4);
-        } else if (pt == PT_HALF) {
-          const uint16_t* hp = (const uint16_t*)src;
-          for (int x = 0; x < width; ++x) row[x] = half_to_float(hp[x]);
-        } else {  // UINT
-          const uint32_t* up = (const uint32_t*)src;
-          for (int x = 0; x < width; ++x) row[x] = (float)up[x];
-        }
-      }
+      if (!decode_block(data + off + 8, csize, width, n_lines, 0, y0,
+                        target, dst))
+        return -1;
     }
     return 1;
   }
@@ -450,18 +523,19 @@ void pcss_exr_close(void* h) {
   delete (Reader*)h;
 }
 
-// Write a single-part scanline EXR.  names: n null-terminated channel names
-// (MUST be in ascending/alphabetical order); chans: n pointers to
-// [height*width] float32.  compression: 0 NONE / 2 ZIPS / 3 ZIP.
-// pixel_type: 1 HALF / 2 FLOAT.  Returns 0 on success.
-int pcss_exr_write(const char* path, const char* const* names,
-                   const float* const* chans, int n, int width, int height,
-                   int compression, int pixel_type) {
+// Shared writer for scanline (tile_w == 0) and ONE_LEVEL tiled files.
+// Compresses one bw x bh block at (x0, y0) per chunk.
+static int write_impl(const char* path, const char* const* names,
+                      const float* const* chans, int n, int width, int height,
+                      int compression, int pixel_type, int tile_w,
+                      int tile_h) {
   if (compression != COMP_NONE && compression != COMP_RLE &&
       compression != COMP_ZIPS && compression != COMP_ZIP &&
       compression != COMP_PIZ && compression != COMP_PXR24)
     return -1;
   if (pixel_type != PT_HALF && pixel_type != PT_FLOAT) return -1;
+  const bool tiled = tile_w > 0;
+  if (tiled && tile_h <= 0) return -1;
   int lpc = (compression == COMP_ZIP || compression == COMP_PXR24) ? 16
             : compression == COMP_PIZ                              ? 32
                                                                    : 1;
@@ -497,28 +571,35 @@ int pcss_exr_write(const char* path, const char* const* names,
   attr("pixelAspectRatio", "float", std::string((const char*)&paspect, 4));
   attr("screenWindowCenter", "v2f", std::string((const char*)swc, 8));
   attr("screenWindowWidth", "float", std::string((const char*)&sww, 4));
+  if (tiled) {
+    std::string td;
+    uint32_t tw = (uint32_t)tile_w, th = (uint32_t)tile_h;
+    td.append((const char*)&tw, 4);
+    td.append((const char*)&th, 4);
+    td.push_back(0);  // ONE_LEVEL, ROUND_DOWN
+    attr("tiles", "tiledesc", td);
+  }
   header.push_back(0);
 
-  int n_chunks = (height + lpc - 1) / lpc;
-  size_t line_bytes = (size_t)width * psz * n;
-  std::vector<std::string> payloads(n_chunks);
-  std::vector<uint8_t> rows, transformed;
-  std::vector<uint8_t> comp_buf;
-  for (int ci = 0; ci < n_chunks; ++ci) {
-    int y0 = ci * lpc;
-    int n_lines = std::min(lpc, height - y0);
-    rows.resize(line_bytes * n_lines);
+  std::vector<uint8_t> rows, transformed, comp_buf;
+
+  // Compress `rows` (row-interleaved raw block bytes, bw x bh) into
+  // *payload; the PXR24 path re-reads the source floats directly.
+  auto compress_block = [&](int x0, int y0, int bw, int bh,
+                            std::string* payload) -> int {
+    size_t block_line = (size_t)bw * psz * n;
+    rows.resize(block_line * bh);
     uint8_t* w = rows.data();
-    for (int line = 0; line < n_lines; ++line) {
+    for (int line = 0; line < bh; ++line) {
       for (int k = 0; k < n; ++k) {
-        const float* src = chans[k] + (size_t)(y0 + line) * width;
+        const float* src = chans[k] + (size_t)(y0 + line) * width + x0;
         if (pixel_type == PT_FLOAT) {
-          std::memcpy(w, src, (size_t)width * 4);
-          w += (size_t)width * 4;
+          std::memcpy(w, src, (size_t)bw * 4);
+          w += (size_t)bw * 4;
         } else {
           uint16_t* hw = (uint16_t*)w;
-          for (int x = 0; x < width; ++x) hw[x] = float_to_half(src[x]);
-          w += (size_t)width * 2;
+          for (int x = 0; x < bw; ++x) hw[x] = float_to_half(src[x]);
+          w += (size_t)bw * 2;
         }
       }
     }
@@ -527,24 +608,23 @@ int pcss_exr_write(const char* path, const char* const* names,
       for (int k = 0; k < n; ++k)
         cds[k].u16_size = pixel_type == PT_HALF ? 1 : 2;
       std::string comp;
-      if (!piz::compress(rows.data(), rows.size(), cds, width, n_lines,
-                         &comp))
+      if (!piz::compress(rows.data(), rows.size(), cds, bw, bh, &comp))
         return -2;
       if (comp.size() < rows.size())
-        payloads[ci] = comp;
+        *payload = comp;
       else
-        payloads[ci].assign((const char*)rows.data(), rows.size());
+        payload->assign((const char*)rows.data(), rows.size());
     } else if (compression == COMP_PXR24) {
       // byte planes of running-differenced (rounded-24-bit) pixels
       transformed.clear();
-      transformed.reserve(line_bytes * n_lines);
-      std::vector<uint8_t> p0(width), p1(width), p2(width);
-      for (int line = 0; line < n_lines; ++line) {
+      transformed.reserve(block_line * bh);
+      std::vector<uint8_t> p0(bw), p1(bw), p2(bw);
+      for (int line = 0; line < bh; ++line) {
         for (int k = 0; k < n; ++k) {
-          const float* src = chans[k] + (size_t)(y0 + line) * width;
+          const float* src = chans[k] + (size_t)(y0 + line) * width + x0;
           if (pixel_type == PT_FLOAT) {
             uint32_t prev = 0;
-            for (int x = 0; x < width; ++x) {
+            for (int x = 0; x < bw; ++x) {
               uint32_t bits;
               std::memcpy(&bits, &src[x], 4);
               uint32_t exp = (bits >> 23) & 0xFFu;
@@ -567,7 +647,7 @@ int pcss_exr_write(const char* path, const char* const* names,
             transformed.insert(transformed.end(), p2.begin(), p2.end());
           } else {
             uint32_t prev = 0;
-            for (int x = 0; x < width; ++x) {
+            for (int x = 0; x < bw; ++x) {
               uint32_t h = float_to_half(src[x]);
               uint32_t diff = (h - prev) & 0xFFFFu;
               prev = h;
@@ -584,9 +664,9 @@ int pcss_exr_write(const char* path, const char* const* names,
       if (compress2(comp_buf.data(), &clen, transformed.data(),
                     transformed.size(), Z_DEFAULT_COMPRESSION) != Z_OK)
         return -2;
-      payloads[ci].assign((const char*)comp_buf.data(), clen);
+      payload->assign((const char*)comp_buf.data(), clen);
     } else if (compression == COMP_NONE) {
-      payloads[ci].assign((const char*)rows.data(), rows.size());
+      payload->assign((const char*)rows.data(), rows.size());
     } else if (compression == COMP_RLE) {
       do_zip_transform(rows.data(), rows.size(), transformed);
       std::string enc;
@@ -610,9 +690,9 @@ int pcss_exr_write(const char* path, const char* const* names,
         }
       }
       if (enc.size() < rows.size())
-        payloads[ci] = enc;
+        *payload = enc;
       else
-        payloads[ci].assign((const char*)rows.data(), rows.size());
+        payload->assign((const char*)rows.data(), rows.size());
     } else {
       do_zip_transform(rows.data(), rows.size(), transformed);
       uLongf clen = compressBound(transformed.size());
@@ -621,31 +701,83 @@ int pcss_exr_write(const char* path, const char* const* names,
                     transformed.size(), Z_DEFAULT_COMPRESSION) != Z_OK)
         return -2;
       if (clen < rows.size())
-        payloads[ci].assign((const char*)comp_buf.data(), clen);
+        payload->assign((const char*)comp_buf.data(), clen);
       else
-        payloads[ci].assign((const char*)rows.data(), rows.size());
+        payload->assign((const char*)rows.data(), rows.size());
+    }
+    return 0;
+  };
+
+  std::vector<std::string> payloads;
+  std::vector<std::string> chunk_headers;
+  if (tiled) {
+    int ntx = (width + tile_w - 1) / tile_w;
+    int nty = (height + tile_h - 1) / tile_h;
+    payloads.resize((size_t)ntx * nty);
+    chunk_headers.resize(payloads.size());
+    size_t ci = 0;
+    for (int dy = 0; dy < nty; ++dy) {
+      for (int dx = 0; dx < ntx; ++dx, ++ci) {
+        int x0 = dx * tile_w, y0 = dy * tile_h;
+        int bw = std::min(tile_w, width - x0);
+        int bh = std::min(tile_h, height - y0);
+        int rc = compress_block(x0, y0, bw, bh, &payloads[ci]);
+        if (rc != 0) return rc;
+        int32_t hdr[5] = {dx, dy, 0, 0, (int32_t)payloads[ci].size()};
+        chunk_headers[ci].assign((const char*)hdr, 20);
+      }
+    }
+  } else {
+    int n_chunks = (height + lpc - 1) / lpc;
+    payloads.resize(n_chunks);
+    chunk_headers.resize(n_chunks);
+    for (int ci = 0; ci < n_chunks; ++ci) {
+      int y0 = ci * lpc;
+      int bh = std::min(lpc, height - y0);
+      int rc = compress_block(0, y0, width, bh, &payloads[ci]);
+      if (rc != 0) return rc;
+      int32_t hdr[2] = {y0, (int32_t)payloads[ci].size()};
+      chunk_headers[ci].assign((const char*)hdr, 8);
     }
   }
 
   FILE* f = std::fopen(path, "wb");
   if (!f) return -3;
-  int32_t magic = kMagic, version = 2;
+  int32_t magic = kMagic, version = tiled ? (2 | 0x200) : 2;
   std::fwrite(&magic, 4, 1, f);
   std::fwrite(&version, 4, 1, f);
   std::fwrite(header.data(), 1, header.size(), f);
-  int64_t pos = 8 + (int64_t)header.size() + 8LL * n_chunks;
-  for (int ci = 0; ci < n_chunks; ++ci) {
+  int64_t pos = 8 + (int64_t)header.size() + 8LL * (int64_t)payloads.size();
+  for (size_t ci = 0; ci < payloads.size(); ++ci) {
     std::fwrite(&pos, 8, 1, f);
-    pos += 8 + (int64_t)payloads[ci].size();
+    pos += (int64_t)chunk_headers[ci].size() + (int64_t)payloads[ci].size();
   }
-  for (int ci = 0; ci < n_chunks; ++ci) {
-    int32_t y0 = ci * lpc, sz = (int32_t)payloads[ci].size();
-    std::fwrite(&y0, 4, 1, f);
-    std::fwrite(&sz, 4, 1, f);
+  for (size_t ci = 0; ci < payloads.size(); ++ci) {
+    std::fwrite(chunk_headers[ci].data(), 1, chunk_headers[ci].size(), f);
     std::fwrite(payloads[ci].data(), 1, payloads[ci].size(), f);
   }
   std::fclose(f);
   return 0;
+}
+
+// Write a single-part scanline EXR.  names: n null-terminated channel names
+// (MUST be in ascending/alphabetical order); chans: n pointers to
+// [height*width] float32.  Returns 0 on success.
+int pcss_exr_write(const char* path, const char* const* names,
+                   const float* const* chans, int n, int width, int height,
+                   int compression, int pixel_type) {
+  return write_impl(path, names, chans, n, width, height, compression,
+                    pixel_type, 0, 0);
+}
+
+// Write a single-part ONE_LEVEL tiled EXR with tile_w x tile_h tiles.
+int pcss_exr_write_tiled(const char* path, const char* const* names,
+                         const float* const* chans, int n, int width,
+                         int height, int compression, int pixel_type,
+                         int tile_w, int tile_h) {
+  if (tile_w <= 0 || tile_h <= 0) return -1;
+  return write_impl(path, names, chans, n, width, height, compression,
+                    pixel_type, tile_w, tile_h);
 }
 
 }  // extern "C"

@@ -96,6 +96,13 @@ def _load_native():
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int]
+        if hasattr(lib, "pcss_exr_write_tiled"):
+            lib.pcss_exr_write_tiled.restype = ctypes.c_int
+            lib.pcss_exr_write_tiled.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_char_p),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -177,22 +184,30 @@ def read_exr_stack(path: str) -> np.ndarray:
 
 
 def write_exr(path: str, channels: dict[str, np.ndarray],
-              compression: int = COMP_ZIP, pixel_type: int = PT_FLOAT) -> None:
-    """Write a scanline EXR.  Channel dict keys are sorted (EXR requires an
-    alphabetical chlist)."""
+              compression: int = COMP_ZIP, pixel_type: int = PT_FLOAT,
+              tile_size: tuple[int, int] | None = None) -> None:
+    """Write a single-part EXR — scanline by default, ONE_LEVEL tiled when
+    ``tile_size=(tile_w, tile_h)``.  Channel dict keys are sorted (EXR
+    requires an alphabetical chlist)."""
     lib = _load_native() if os.environ.get("PCSS_EXR_BACKEND") != "python" else None
     names = sorted(channels)
-    if lib is not None:
+    if lib is not None and (tile_size is None
+                            or hasattr(lib, "pcss_exr_write_tiled")):
         arrs = [np.ascontiguousarray(np.asarray(channels[n], np.float32))
                 for n in names]
         h, w = arrs[0].shape
         name_arr = (ctypes.c_char_p * len(names))(*[n.encode() for n in names])
         ptr_arr = (ctypes.POINTER(ctypes.c_float) * len(names))(
             *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for a in arrs])
-        rc = lib.pcss_exr_write(path.encode(), name_arr, ptr_arr, len(names),
-                                w, h, compression, pixel_type)
+        if tile_size is None:
+            rc = lib.pcss_exr_write(path.encode(), name_arr, ptr_arr,
+                                    len(names), w, h, compression, pixel_type)
+        else:
+            rc = lib.pcss_exr_write_tiled(
+                path.encode(), name_arr, ptr_arr, len(names), w, h,
+                compression, pixel_type, int(tile_size[0]), int(tile_size[1]))
         if rc == 0:
             return
         logging.warning("native EXR write failed (rc=%d); using python codec", rc)
     exr_py.write_exr_py(path, channels, compression=compression,
-                        pixel_type=pixel_type)
+                        pixel_type=pixel_type, tile_size=tile_size)

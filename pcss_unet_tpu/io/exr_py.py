@@ -7,9 +7,12 @@ plus a faster native C++ twin (``native/exr/exr_codec.cpp``, wrapped by
 ``pcss_unet_tpu.io.exr``).  Both implement the subset the pipeline needs:
 
 - single-part scanline files, version 2
+- single-part TILED files, ONE_LEVEL (level-0 only; mipmap/ripmap rejected
+  loudly) — tiled is a common renderer output mode the reference's OpenEXR
+  bindings read transparently (setdata.py:42)
 - compression: NONE, RLE, ZIPS, ZIP (16 lines/chunk), PIZ (32 lines/chunk,
   wavelet + Huffman — io/piz.py), PXR24 (lossy 24-bit floats, lossless
-  HALF/UINT)
+  HALF/UINT); for tiled files every scheme compresses whole tiles
 - pixel types: HALF, FLOAT, UINT
 - INCREASING_Y line order
 
@@ -221,8 +224,7 @@ class ExrFile:
         version = struct.unpack_from("<i", data, 4)[0]
         # version-field flags: 0x200 tiled, 0x400 long names (harmless),
         # 0x800 deep data, 0x1000 multi-part
-        if version & 0x200:
-            raise ValueError("tiled EXR not supported (scanline only)")
+        self.tiled = bool(version & 0x200)
         if version & 0x800:
             raise ValueError("deep-data EXR not supported")
         if version & 0x1000:
@@ -248,19 +250,68 @@ class ExrFile:
         self.width = xmax - xmin + 1
         self.height = ymax - ymin + 1
         self.y_min = ymin
-        lpc = _LINES_PER_CHUNK[self.compression]
-        n_chunks = (self.height + lpc - 1) // lpc
+        if self.tiled:
+            if "tiles" not in self.attrs:
+                raise ValueError("tiled EXR missing 'tiles' attribute")
+            tw, th, mode = struct.unpack_from("<IIB", self.attrs["tiles"][1])
+            if mode & 0xF != 0:
+                raise ValueError(
+                    "mipmap/ripmap tiled EXR not supported (ONE_LEVEL only)")
+            self.tile_w, self.tile_h = int(tw), int(th)
+            n_chunks = ((-(-self.width // self.tile_w))
+                        * (-(-self.height // self.tile_h)))
+            lpc = self.tile_h
+        else:
+            lpc = _LINES_PER_CHUNK[self.compression]
+            n_chunks = (self.height + lpc - 1) // lpc
         self._chunk_offsets = struct.unpack_from(f"<{n_chunks}q", data, pos)
         self._data = data
         self._lpc = lpc
 
     def header(self) -> dict:
-        return {
+        h = {
             "dataWindow": struct.unpack("<4i", self.attrs["dataWindow"][1]),
             "channels": {c.name: c.pixel_type for c in self.channels},
             "compression": self.compression,
             "size": (self.height, self.width),
         }
+        if self.tiled:
+            h["tiles"] = (self.tile_w, self.tile_h)
+        return h
+
+    def _decode_block(self, payload: bytes, width: int, n_lines: int,
+                      wanted: set) -> dict[str, np.ndarray]:
+        """Decode one compressed block — a scanline chunk or a tile —
+        covering ``n_lines`` rows of ``width`` pixels.
+        → {name: [n_lines, width] float32} for channels in ``wanted``."""
+        if self.compression == COMP_PXR24:
+            raw = zlib.decompress(payload)
+            decoded = _pxr24_decode_rows(raw, self.channels, width, n_lines)
+            return {k: v for k, v in decoded.items() if k in wanted}
+        row_nbytes = [width * _DTYPES[ch.pixel_type].itemsize
+                      for ch in self.channels]
+        raw_size = sum(row_nbytes) * n_lines
+        if self.compression == COMP_NONE or len(payload) >= raw_size:
+            raw = payload   # stored raw (incompressible block)
+        elif self.compression == COMP_PIZ:
+            from pcss_unet_tpu.io.piz import piz_decompress
+
+            raw = piz_decompress(payload, self.channels, width, n_lines)
+        elif self.compression == COMP_RLE:
+            raw = _zip_undo_transform(
+                bytearray(_rle_decompress(payload, raw_size)))
+        else:
+            raw = _zip_undo_transform(bytearray(zlib.decompress(payload)))
+        out = {n: np.empty((n_lines, width), np.float32) for n in wanted}
+        pos = 0
+        for line in range(n_lines):
+            for ch, nb in zip(self.channels, row_nbytes):
+                if ch.name in out:
+                    row = np.frombuffer(raw, _DTYPES[ch.pixel_type],
+                                        count=width, offset=pos)
+                    out[ch.name][line] = row.astype(np.float32)
+                pos += nb
+        return out
 
     def read_channels(self, names: list[str]) -> dict[str, np.ndarray | None]:
         """Decode the requested channels to float32 [H, W]; missing channels
@@ -268,45 +319,32 @@ class ExrFile:
         have = {c.name: c for c in self.channels}
         out = {n: (np.empty((self.height, self.width), np.float32)
                    if n in have else None) for n in names}
-        # channels are stored per scanline in chlist (alphabetical) order
-        row_nbytes = []
-        for ch in self.channels:
-            row_nbytes.append(self.width * _DTYPES[ch.pixel_type].itemsize)
+        wanted = {n for n in names if n in have}
         data = self._data
-        for ci, off in enumerate(self._chunk_offsets):
+        if self.tiled:
+            for off in self._chunk_offsets:
+                # tile chunk: dx, dy, levelX, levelY, dataSize, payload
+                dx, dy, lx, ly, size = struct.unpack_from("<5i", data, off)
+                if lx or ly:
+                    raise ValueError(
+                        f"unexpected tile level ({lx},{ly}) in ONE_LEVEL file")
+                payload = data[off + 20: off + 20 + size]
+                x0, y0 = dx * self.tile_w, dy * self.tile_h
+                tw = min(self.tile_w, self.width - x0)
+                th = min(self.tile_h, self.height - y0)
+                for name, rows in self._decode_block(payload, tw, th,
+                                                     wanted).items():
+                    out[name][y0:y0 + th, x0:x0 + tw] = rows
+            return out
+        # channels are stored per scanline in chlist (alphabetical) order
+        for off in self._chunk_offsets:
             y, size = struct.unpack_from("<ii", data, off)
             payload = data[off + 8: off + 8 + size]
             y0 = y - self.y_min
             n_lines = min(self._lpc, self.height - y0)
-            if self.compression == COMP_PXR24:
-                raw = zlib.decompress(payload)
-                decoded = _pxr24_decode_rows(raw, self.channels, self.width,
-                                             n_lines)
-                for name, rows in decoded.items():
-                    if name in out and out[name] is not None:
-                        out[name][y0:y0 + n_lines] = rows
-                continue
-            raw_size = sum(row_nbytes) * n_lines
-            if self.compression == COMP_NONE or size >= raw_size:
-                raw = payload
-            elif self.compression == COMP_PIZ:
-                from pcss_unet_tpu.io.piz import piz_decompress
-
-                raw = piz_decompress(payload, self.channels, self.width,
-                                     n_lines)
-            elif self.compression == COMP_RLE:
-                raw = _zip_undo_transform(
-                    bytearray(_rle_decompress(payload, raw_size)))
-            else:
-                raw = _zip_undo_transform(bytearray(zlib.decompress(payload)))
-            pos = 0
-            for line in range(n_lines):
-                for ch, nb in zip(self.channels, row_nbytes):
-                    if ch.name in out and out[ch.name] is not None:
-                        row = np.frombuffer(raw, _DTYPES[ch.pixel_type],
-                                            count=self.width, offset=pos)
-                        out[ch.name][y0 + line] = row.astype(np.float32)
-                    pos += nb
+            for name, rows in self._decode_block(payload, self.width,
+                                                 n_lines, wanted).items():
+                out[name][y0:y0 + n_lines] = rows
         return out
 
 
@@ -315,9 +353,35 @@ def read_exr_channels_py(path: str, names: list[str]) -> dict[str, np.ndarray | 
         return ExrFile(f.read()).read_channels(names)
 
 
+def _compress_block(rows: bytes, arrs, names, compression: int,
+                    pixel_type: int, width: int) -> bytes:
+    """Compress one block (scanline chunk or tile).  ``rows`` is the
+    row-interleaved raw bytes; ``arrs`` the per-channel [n_lines, width]
+    arrays of the block (used by the planar PXR24 layout)."""
+    if compression == COMP_NONE:
+        return rows
+    if compression == COMP_RLE:
+        comp = _rle_compress(_zip_do_transform(rows))
+    elif compression == COMP_PXR24:
+        n_lines = arrs[0].shape[0]
+        planes = _pxr24_encode_rows(arrs, pixel_type, 0, n_lines, width)
+        return zlib.compress(planes)
+    elif compression == COMP_PIZ:
+        from pcss_unet_tpu.io.piz import piz_compress
+
+        chans = [_Channel(n, pixel_type) for n in names]
+        comp = piz_compress(rows, chans, width, arrs[0].shape[0])
+    else:
+        comp = zlib.compress(_zip_do_transform(rows))
+    return comp if len(comp) < len(rows) else rows
+
+
 def write_exr_py(path: str, channels: dict[str, np.ndarray],
-                 compression: int = COMP_ZIP, pixel_type: int = PT_FLOAT) -> None:
-    """Write a single-part scanline EXR (NONE/ZIPS/ZIP; HALF/FLOAT)."""
+                 compression: int = COMP_ZIP, pixel_type: int = PT_FLOAT,
+                 tile_size: tuple[int, int] | None = None) -> None:
+    """Write a single-part EXR — scanline by default, or ONE_LEVEL tiled
+    when ``tile_size=(tile_w, tile_h)`` is given (version flag 0x200 +
+    'tiles' tiledesc attribute; whole-tile compression)."""
     names = sorted(channels)  # chlist must be alphabetical
     arrs = [np.asarray(channels[n]) for n in names]
     h, w = arrs[0].shape
@@ -345,46 +409,52 @@ def write_exr_py(path: str, channels: dict[str, np.ndarray],
         + attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
         + attr("screenWindowCenter", "v2f", struct.pack("<2f", 0.0, 0.0))
         + attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
-        + b"\x00"
     )
-    lpc = _LINES_PER_CHUNK[compression]
-    n_chunks = (h + lpc - 1) // lpc
-    chunks = []
-    for ci in range(n_chunks):
-        y0 = ci * lpc
-        n_lines = min(lpc, h - y0)
-        rows = b"".join(
-            arrs[k][y0 + line].tobytes()
-            for line in range(n_lines) for k in range(len(arrs))
-        )
-        if compression == COMP_NONE:
-            payload = rows
-        elif compression == COMP_RLE:
-            comp = _rle_compress(_zip_do_transform(rows))
-            payload = comp if len(comp) < len(rows) else rows
-        elif compression == COMP_PXR24:
-            planes = _pxr24_encode_rows(arrs, pixel_type, y0, n_lines, w)
-            payload = zlib.compress(planes)
-        elif compression == COMP_PIZ:
-            from pcss_unet_tpu.io.piz import piz_compress
+    version = 2
+    if tile_size is not None:
+        tw, th = int(tile_size[0]), int(tile_size[1])
+        if tw <= 0 or th <= 0:
+            raise ValueError(f"bad tile size {tile_size}")
+        version |= 0x200
+        header += attr("tiles", "tiledesc", struct.pack("<IIB", tw, th, 0))
+    header += b"\x00"
 
-            chans = [_Channel(n, pixel_type) for n in names]
-            comp = piz_compress(rows, chans, w, n_lines)
-            payload = comp if len(comp) < len(rows) else rows
-        else:
-            comp = zlib.compress(_zip_do_transform(rows))
-            payload = comp if len(comp) < len(rows) else rows
-        chunks.append((y0, payload))
-    base = 8 + len(header) + 8 * n_chunks
+    chunks: list[tuple[bytes, bytes]] = []   # (chunk header, payload)
+    if tile_size is not None:
+        for dy in range(-(-h // th)):
+            for dx in range(-(-w // tw)):
+                x0, y0 = dx * tw, dy * th
+                bw, bh = min(tw, w - x0), min(th, h - y0)
+                sub = [a[y0:y0 + bh, x0:x0 + bw] for a in arrs]
+                rows = b"".join(sub[k][line].tobytes()
+                                for line in range(bh)
+                                for k in range(len(sub)))
+                payload = _compress_block(rows, sub, names, compression,
+                                          pixel_type, bw)
+                chunks.append((struct.pack("<5i", dx, dy, 0, 0,
+                                           len(payload)), payload))
+    else:
+        lpc = _LINES_PER_CHUNK[compression]
+        for ci in range((h + lpc - 1) // lpc):
+            y0 = ci * lpc
+            n_lines = min(lpc, h - y0)
+            sub = [a[y0:y0 + n_lines] for a in arrs]
+            rows = b"".join(sub[k][line].tobytes()
+                            for line in range(n_lines)
+                            for k in range(len(sub)))
+            payload = _compress_block(rows, sub, names, compression,
+                                      pixel_type, w)
+            chunks.append((struct.pack("<ii", y0, len(payload)), payload))
+    n_chunks = len(chunks)
     offsets = []
-    pos = base
-    for y0, payload in chunks:
+    pos = 8 + len(header) + 8 * n_chunks
+    for chdr, payload in chunks:
         offsets.append(pos)
-        pos += 8 + len(payload)
+        pos += len(chdr) + len(payload)
     with open(path, "wb") as f:
-        f.write(struct.pack("<ii", MAGIC, 2))
+        f.write(struct.pack("<ii", MAGIC, version))
         f.write(header)
         f.write(struct.pack(f"<{n_chunks}q", *offsets))
-        for y0, payload in chunks:
-            f.write(struct.pack("<ii", y0, len(payload)))
+        for chdr, payload in chunks:
+            f.write(chdr)
             f.write(payload)

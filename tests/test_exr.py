@@ -246,3 +246,97 @@ def test_unsupported_compression_fails_loudly(tmp_path, rng, backend):
     open(path, "wb").write(bytes(data))
     with pytest.raises((ValueError, IOError), match="[Uu]nsupported"):
         read_exr_channels(path, ["R"])
+
+
+# ---------------------------------------------------------------------------
+# Tiled single-part files (ONE_LEVEL) — a common renderer output mode the
+# reference's OpenEXR bindings read transparently (setdata.py:42)
+# ---------------------------------------------------------------------------
+
+_ALL_COMPS = [COMP_NONE, COMP_RLE, COMP_ZIPS, COMP_ZIP,
+              exr_py.COMP_PIZ, exr_py.COMP_PXR24]
+
+
+@pytest.mark.parametrize("comp", _ALL_COMPS)
+@pytest.mark.parametrize("tile", [(16, 16), (32, 8), (13, 9)])
+def test_tiled_roundtrip_matches_scanline(tmp_path, rng, backend, comp, tile):
+    """A tiled file decodes to exactly what the same data's scanline file
+    decodes to — for every compression, including partial edge tiles."""
+    h, w = 37, 53
+    chans = {n: rng.standard_normal((h, w)).astype(np.float32)
+             for n in ("R", "G", "B")}
+    tiled = str(tmp_path / "t.exr")
+    scan = str(tmp_path / "s.exr")
+    write_exr(tiled, chans, compression=comp, tile_size=tile)
+    write_exr(scan, chans, compression=comp)
+    out_t = read_exr_channels(tiled, ["R", "G", "B"])
+    out_s = read_exr_channels(scan, ["R", "G", "B"])
+    for n in chans:
+        np.testing.assert_array_equal(out_t[n], out_s[n])
+
+
+def test_tiled_cross_codec(tmp_path, rng):
+    """A tiled file written by either codec decodes identically in both."""
+    if _load_native() is None:
+        pytest.skip("native EXR codec unavailable")
+    from pcss_unet_tpu.io.exr import _read_channels_native
+
+    h, w = 41, 67
+    chans = {n: rng.standard_normal((h, w)).astype(np.float32)
+             for n in ("B", "G", "R")}
+    p_py = str(tmp_path / "py.exr")
+    p_nat = str(tmp_path / "nat.exr")
+    exr_py.write_exr_py(p_py, chans, compression=COMP_ZIP, tile_size=(16, 16))
+    write_exr(p_nat, chans, compression=COMP_ZIP, tile_size=(16, 16))
+    for path in (p_py, p_nat):
+        out_py = exr_py.read_exr_channels_py(path, ["R", "G", "B"])
+        out_nat = _read_channels_native(path, ["R", "G", "B"])
+        for n in chans:
+            np.testing.assert_array_equal(out_py[n], chans[n])
+            np.testing.assert_array_equal(out_nat[n], chans[n])
+
+
+def test_tiled_half_halves_agree(tmp_path, rng):
+    """Both codecs write identical HALF bytes (round-to-nearest-even)."""
+    if _load_native() is None:
+        pytest.skip("native EXR codec unavailable")
+    from pcss_unet_tpu.io.exr import _read_channels_native
+
+    chans = {"R": rng.uniform(-4, 4, (19, 23)).astype(np.float32)}
+    p_py = str(tmp_path / "py.exr")
+    p_nat = str(tmp_path / "nat.exr")
+    exr_py.write_exr_py(p_py, chans, pixel_type=PT_HALF, tile_size=(8, 8))
+    write_exr(p_nat, chans, pixel_type=PT_HALF, tile_size=(8, 8))
+    ref = exr_py.read_exr_channels_py(p_py, ["R"])["R"]
+    np.testing.assert_array_equal(
+        _read_channels_native(p_nat, ["R"])["R"], ref)
+
+
+def test_tiled_read_exr_contract(tmp_path, rng, backend):
+    """read_exr's reference semantics (setdata.py:64-83) hold for tiled
+    inputs: default alpha + NaN scrub."""
+    h, w = 20, 28
+    chans = {n: rng.random((h, w)).astype(np.float32)
+             for n in ("R", "G", "B")}
+    chans["R"][3, 4] = np.nan
+    chans["G"][5, 6] = np.inf
+    path = str(tmp_path / "t.exr")
+    write_exr(path, chans, compression=COMP_NONE, tile_size=(16, 16))
+    r, g, b, a = read_exr(path)
+    assert r[3, 4] == 0.0 and g[5, 6] == 1.0
+    np.testing.assert_array_equal(a, np.ones((h, w), np.float32))
+
+
+def test_mipmap_rejected_loudly(tmp_path, rng, backend):
+    """Mipmap/ripmap level modes must fail with the documented error."""
+    chans = {"R": rng.standard_normal((16, 16)).astype(np.float32)}
+    path = str(tmp_path / "m.exr")
+    exr_py.write_exr_py(path, chans, compression=COMP_NONE,
+                        tile_size=(8, 8))
+    data = bytearray(open(path, "rb").read())
+    idx = data.index(b"tiles\x00tiledesc\x00")
+    mode_off = idx + len(b"tiles\x00tiledesc\x00") + 4 + 8
+    data[mode_off] = 1  # MIPMAP_LEVELS
+    open(path, "wb").write(bytes(data))
+    with pytest.raises((ValueError, IOError), match="mipmap"):
+        read_exr_channels(path, ["R"])
