@@ -145,7 +145,15 @@ def zero1_spec_tree(tree):
 
 def create_zero1_state(model, cfg, steps_per_epoch: int, sample_shape,
                        mesh: Mesh, seed: int | None = None) -> Zero1State:
-    """Initialize params (replicated) + the sharded optimizer state."""
+    """Initialize params (replicated) + the sharded optimizer state.
+    The model must use sync-BN (``bn_axis_name='data'``) — see
+    build_zero1_dp_train_step."""
+    if (getattr(model, "normalization", "batch_norm") == "batch_norm"
+            and getattr(model, "bn_axis_name", None) != "data"):
+        raise ValueError(
+            "create_zero1_state requires the model constructed with "
+            "bn_axis_name='data' (sync-BN); got "
+            f"bn_axis_name={getattr(model, 'bn_axis_name', None)!r}")
     from jax.flatten_util import ravel_pytree
 
     from pcss_unet_tpu.train.state import make_optimizer
@@ -186,7 +194,19 @@ def build_zero1_dp_train_step(cfg, bundle: LossBundle, means, stds,
     Numerically identical to the replicated explicit step (pinned in
     tests/test_dp_explicit.py) — the partition is purely an HBM layout.
     ``state`` (from create_zero1_state) supplies the optimizer-state pytree
-    structure the shard specs are derived from."""
+    structure the shard specs are derived from.
+
+    The model MUST be built with ``bn_axis_name='data'`` (sync-BN): the
+    out_specs declare batch_stats replicated, which is only true when BN
+    cross-replica-means its statistics — a plain model would silently
+    produce divergent per-device batch_stats masked by the replicated
+    spec."""
+    if (getattr(model, "normalization", "batch_norm") == "batch_norm"
+            and getattr(model, "bn_axis_name", None) != "data"):
+        raise ValueError(
+            "build_zero1_dp_train_step requires the model constructed with "
+            "bn_axis_name='data' (sync-BN); got "
+            f"bn_axis_name={getattr(model, 'bn_axis_name', None)!r}")
     from jax.flatten_util import ravel_pytree
 
     means = jnp.asarray(means, jnp.float32)

@@ -28,6 +28,23 @@ from pcss_unet_tpu.train.state import TrainState
 
 
 class CheckpointManagerWrapper:
+    """Epoch-keyed facade over Orbax's integer-step manager.
+
+    Internally a save for epoch E lands at step ``E * _SUBKEYS + sub`` where
+    ``sub`` counts re-saves of the same epoch (a mid-epoch preemption save
+    followed by the end-of-epoch save, or repeated preemptions).  Re-saving
+    therefore never deletes before writing — the stale save is removed only
+    after the replacement is fully committed, so a SIGKILL at any instant
+    leaves at least one complete checkpoint for the epoch on disk.
+
+    Mid-epoch (cursor) saves are written *without* metrics so they do not
+    compete in best-checkpoint retention: a partial-epoch loss average is
+    not comparable to full-epoch averages (Orbax keeps metric-less saves —
+    ``keep_checkpoints_without_metrics`` defaults to True).
+    """
+
+    _SUBKEYS = 1000  # max re-saves of one epoch
+
     def __init__(self, directory: str, max_to_keep: int = 3,
                  keep_best: bool = True):
         self.directory = os.path.abspath(directory)
@@ -40,36 +57,49 @@ class CheckpointManagerWrapper:
         )
         self.manager = ocp.CheckpointManager(self.directory, options=options)
 
+    def _steps_for_epoch(self, epoch: int) -> list[int]:
+        return sorted(s for s in (self.manager.all_steps() or [])
+                      if s // self._SUBKEYS == epoch)
+
     def save(self, state: TrainState, metrics: dict[str, float],
              epoch: int, cursor_batch: int | None = None) -> None:
         """``cursor_batch``: data-order cursor for mid-epoch saves — the
         number of batches of ``epoch`` already consumed, so resume can pick
         up at the next batch instead of replaying (or skipping) the epoch.
         None/-1 means the epoch completed."""
+        mid_epoch = cursor_batch is not None and cursor_batch >= 0
         payload = {
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
             "step": state.step,
             "skipped_steps": state.skipped_steps,
-            "cursor_batch": np.asarray(-1 if cursor_batch is None
-                                       else cursor_batch, np.int64),
+            "cursor_batch": np.asarray(cursor_batch if mid_epoch else -1,
+                                       np.int64),
         }
-        if epoch in (self.manager.all_steps() or []):
-            # re-saving the epoch a preemption checkpoint half-wrote
-            self.manager.delete(epoch)
+        stale = self._steps_for_epoch(epoch)
+        sub = (stale[-1] % self._SUBKEYS + 1) if stale else 0
         self.manager.save(
-            epoch, args=ocp.args.StandardSave(payload),
-            metrics={k: float(v) for k, v in metrics.items()})
+            epoch * self._SUBKEYS + sub, args=ocp.args.StandardSave(payload),
+            metrics=None if mid_epoch
+            else {k: float(v) for k, v in metrics.items()})
+        if stale:
+            # remove superseded saves of this epoch only once the new one
+            # is durably committed (no delete→save loss window)
+            self.manager.wait_until_finished()
+            for s in stale:
+                self.manager.delete(s)
 
     def wait(self) -> None:
         self.manager.wait_until_finished()
 
     def latest_epoch(self) -> int | None:
-        return self.manager.latest_step()
+        s = self.manager.latest_step()
+        return None if s is None else s // self._SUBKEYS
 
     def best_epoch(self) -> int | None:
-        return self.manager.best_step()
+        s = self.manager.best_step()
+        return None if s is None else s // self._SUBKEYS
 
     def restore(self, state: TrainState,
                 epoch: int | None = None) -> tuple[TrainState, int]:
@@ -81,6 +111,14 @@ class CheckpointManagerWrapper:
         epoch = self.latest_epoch() if epoch is None else epoch
         if epoch is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        steps = self._steps_for_epoch(epoch)
+        if steps:
+            step_id = steps[-1]
+        elif epoch in (self.manager.all_steps() or []):
+            step_id = epoch   # raw-epoch key from a pre-composite-key run
+        else:
+            raise FileNotFoundError(
+                f"no checkpoint for epoch {epoch} under {self.directory}")
         template = {
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -89,15 +127,19 @@ class CheckpointManagerWrapper:
             "skipped_steps": state.skipped_steps,
             "cursor_batch": np.asarray(-1, np.int64),
         }
-        try:
-            restored = self.manager.restore(
-                epoch, args=ocp.args.StandardRestore(template))
-            cursor = int(restored["cursor_batch"])
-        except Exception:  # noqa: BLE001 — pre-cursor checkpoint layout
+        # Detect pre-cursor checkpoint layouts explicitly from the saved
+        # tree's metadata (a blanket except here would also swallow real
+        # restore failures — corruption, shape mismatch — and silently
+        # replay an epoch).
+        if not self._has_cursor(step_id):
             template.pop("cursor_batch")
             restored = self.manager.restore(
-                epoch, args=ocp.args.StandardRestore(template))
+                step_id, args=ocp.args.StandardRestore(template))
             cursor = -1
+        else:
+            restored = self.manager.restore(
+                step_id, args=ocp.args.StandardRestore(template))
+            cursor = int(restored["cursor_batch"])
         return state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
@@ -105,6 +147,20 @@ class CheckpointManagerWrapper:
             step=restored["step"],
             skipped_steps=restored["skipped_steps"],
         ), cursor
+
+    def _has_cursor(self, step_id: int) -> bool:
+        """True if the saved tree at step_id contains the 'cursor_batch'
+        leaf (checkpoints written before the mid-epoch cursor existed
+        don't).  Conservative: metadata-read failures count as present so
+        real restore errors surface from restore(), not here."""
+        try:
+            meta = self.manager.item_metadata(step_id)
+            tree = getattr(meta, "item_metadata", meta)
+            if hasattr(tree, "tree"):   # CompositeItemMetadata-style
+                tree = tree.tree
+            return "cursor_batch" in tree
+        except Exception:  # noqa: BLE001 — metadata API drift only
+            return True
 
     def close(self) -> None:
         self.manager.close()

@@ -288,17 +288,23 @@ def fit(cfg, model, train_loader: Loader, val_loader: Loader | None = None,
             f" val {val_avg['total_loss']:.5f}" if val_avg else "",
             time.time() - epoch_t0, int(jax.device_get(state.skipped_steps)))
 
+        mid_epoch_stop = (bool(stop_requested)
+                          and batches_done < steps_per_epoch)
         if ckpt is not None:
             is_best = epoch_loss < best_val
             periodic = (epoch % max(1, cfg.save_frequency) == 0)
             if (is_best or periodic or stop_requested
                     or epoch == cfg.num_epochs - 1):
                 key = "val_loss" if val_avg else "train_loss"
-                cursor = (batches_done if stop_requested
-                          and batches_done < steps_per_epoch else None)
+                cursor = batches_done if mid_epoch_stop else None
                 ckpt.save(state, {key: epoch_loss}, epoch,
                           cursor_batch=cursor)
-        best_val = min(best_val, epoch_loss)
+        if not mid_epoch_stop:
+            # a partial epoch's loss average (possibly a handful of batches)
+            # is not comparable to full-epoch averages — keep it out of
+            # best-val tracking (its checkpoint is metric-less for the same
+            # reason, see CheckpointManagerWrapper.save)
+            best_val = min(best_val, epoch_loss)
         if stop_requested:
             logging.warning("stopping at epoch %d on signal; checkpoint "
                             "saved — rerun to resume", epoch)
