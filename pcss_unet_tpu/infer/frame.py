@@ -32,6 +32,25 @@ def load_variables(path: str) -> dict:
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(path)
+        # A CheckpointManager ROOT (cli.train --save_dir): resolve to the
+        # best checkpoint by saved metrics (reference best_model.pth
+        # semantics, main.py:539-544), falling back to the latest save
+        # (mid-epoch cursor saves carry no metrics).
+        if (not os.path.isdir(os.path.join(path, "default"))
+                and not os.path.exists(os.path.join(path, "_METADATA"))
+                and any(d.isdigit() for d in os.listdir(path))):
+            from pcss_unet_tpu.train.checkpoint import CheckpointManagerWrapper
+
+            w = CheckpointManagerWrapper(path)
+            try:
+                s = w.manager.best_step()
+                if s is None:
+                    s = w.manager.latest_step()
+            finally:
+                w.close()
+            if s is None:
+                raise FileNotFoundError(f"no checkpoints under {path}")
+            path = os.path.join(path, str(s))
         # CheckpointManager step dirs keep the payload under the default
         # item name; bare StandardCheckpointer dirs hold it directly
         if os.path.isdir(os.path.join(path, "default")):
@@ -135,9 +154,13 @@ class InferenceEngine:
         self._fwd = jax.jit(self._forward)
         self._fwd_plain = jax.jit(functools.partial(self._forward,
                                                     plain=True))
+        self._sharded_cache: dict = {}
 
     def _forward(self, params, batch_stats, x, plain: bool = False):
-        if self.use_pallas and self.means is not None:
+        # plain=True must yield a graph with NO Pallas custom calls (the
+        # SPMD partitioner cannot shard them) — so the fused scrub pre-pass
+        # is gated on it too, not just the model body.
+        if self.use_pallas and not plain and self.means is not None:
             # one fused pass: scrub + standardize (ops/pallas/fused.py)
             from pcss_unet_tpu.ops.pallas import fused_scrub_standardize
 
@@ -154,6 +177,66 @@ class InferenceEngine:
         out = jnp.nan_to_num(out.astype(jnp.float32), nan=0.0, posinf=1.0,
                              neginf=0.0)  # inference.py:200-202
         return jnp.clip(out, 0.0, 1.0)
+
+    def build_sharded_forward(self, mesh, halo: int, shard_batch: bool):
+        """Jitted spatially-sharded forward that KEEPS the engine's Pallas/
+        int8 kernel posture: shard_map over the mesh's 'spatial' axis where
+        each device slices an aligned (shard + 2·halo)-row window from the
+        replicated frame, runs the full kernel path on it in window mode
+        (global-coefficient resizes — models/unet.py spatial_window), and
+        emits its own rows.  With halo ≥ spatial_halo(model) the
+        concatenated output equals the single-device forward exactly.
+
+        → fn(params, batch_stats, x) with x [B, H, W, C] replicated over
+        'spatial' (sharded over 'data' iff shard_batch); H must be a
+        multiple of mesh['spatial'] · pad_multiple."""
+        from jax.sharding import PartitionSpec as P
+
+        key = (mesh, halo, shard_batch)
+        fn = self._sharded_cache.get(key)
+        if fn is not None:
+            return fn
+        n_sp = mesh.shape["spatial"]
+
+        def fwd(params, batch_stats, x):
+            B, H, W, C = x.shape
+            shard_h = H // n_sp
+            ext = min(H, shard_h + 2 * halo)
+            model_w = self.model.clone(spatial_window=(H, W))
+
+            def per_shard(p, bs, xf):            # xf [B_loc, H, W, C]
+                i = jax.lax.axis_index("spatial")
+                start = (i * shard_h).astype(jnp.int32)
+                s = jnp.clip(start - halo, 0, H - ext)
+                win = jax.lax.dynamic_slice_in_dim(xf, s, ext, axis=1)
+                win = win.astype(jnp.float32)
+                if self.use_pallas and self.means is not None:
+                    from pcss_unet_tpu.ops.pallas import fused_scrub_standardize
+
+                    win = fused_scrub_standardize(win, self.means, self.stds,
+                                                  out_dtype=jnp.float32)
+                else:
+                    win = jnp.nan_to_num(win, nan=0.0, posinf=1.0, neginf=0.0)
+                    if self.means is not None:
+                        win = (win - self.means) / (self.stds + 1e-8)
+                out = model_w.apply({"params": p, "batch_stats": bs},
+                                    win, False, window_offset=s)
+                out = jnp.nan_to_num(out.astype(jnp.float32), nan=0.0,
+                                     posinf=1.0, neginf=0.0)
+                out = jnp.clip(out, 0.0, 1.0)
+                return jax.lax.dynamic_slice_in_dim(out, start - s, shard_h,
+                                                    axis=1)
+
+            bspec = "data" if shard_batch else None
+            return jax.shard_map(
+                per_shard, mesh=mesh,
+                in_specs=(P(), P(), P(bspec)),
+                out_specs=P(bspec, "spatial"),
+                check_vma=False)(params, batch_stats, x)
+
+        fn = jax.jit(fwd)
+        self._sharded_cache[key] = fn
+        return fn
 
     def run_padded(self, frames, plain: bool = False) -> jax.Array:
         """Forward on already-aligned frames (device array in, device array

@@ -32,7 +32,14 @@ from pcss_unet_tpu.infer.frame import InferenceEngine, pad_to_multiple
 
 def infer_sharded(engine: InferenceEngine, frames: np.ndarray, mesh) -> np.ndarray:
     """Full-frame inference with H sharded over the 'spatial' mesh axis and
-    batch over 'data'."""
+    batch over 'data'.  When the engine posture carries Pallas/int8 kernels
+    (which the auto-SPMD partitioner cannot split), dispatches to the
+    shard_map halo path (``infer_sharded_halo``) so the kernels stay on;
+    otherwise the plain jitted graph with XLA's automatic halo exchange."""
+    kernels_on = (getattr(engine.model, "fused_inference", False)
+                  or getattr(engine.model, "int8_inference", False))
+    if kernels_on and getattr(engine.model, "spatial_window", "no") is None:
+        return infer_sharded_halo(engine, frames, mesh)
     frames = np.asarray(frames, np.float32)
     squeeze = frames.ndim == 3
     if squeeze:
@@ -42,6 +49,39 @@ def infer_sharded(engine: InferenceEngine, frames: np.ndarray, mesh) -> np.ndarr
     x = jax.device_put(padded, sharding)
     # plain graph: the SPMD partitioner can't split a Pallas custom call
     out = np.asarray(engine.run_padded(x, plain=True))[:, :h, :w, :]
+    return out[0] if squeeze else out
+
+
+def infer_sharded_halo(engine: InferenceEngine, frames: np.ndarray, mesh,
+                       halo: int | None = None) -> np.ndarray:
+    """Spatially-sharded inference that KEEPS the Pallas/int8 kernel
+    posture: each device runs the full kernel path on an aligned
+    (shard + 2·halo)-row window of the frame (window mode — resizes use
+    global coefficients) and emits its own rows.  With the default
+    halo = spatial_halo(model), the result equals the single-device fused
+    forward exactly (pinned in tests/test_sharding.py)."""
+    from pcss_unet_tpu.models.unet import spatial_halo
+
+    frames = np.asarray(frames, np.float32)
+    squeeze = frames.ndim == 3
+    if squeeze:
+        frames = frames[None]
+    if halo is None:
+        halo = spatial_halo(engine.model)
+    n_sp = mesh.shape["spatial"]
+    n_dp = mesh.shape.get("data", 1)
+    b, h, w, _ = frames.shape
+    ph = (-h) % (engine.pad_multiple * n_sp)   # shard_h must stay aligned
+    pw = (-w) % engine.pad_multiple
+    if ph or pw:
+        frames = np.pad(frames, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                        mode="reflect")
+    shard_batch = n_dp > 1 and b % n_dp == 0
+    fwd = engine.build_sharded_forward(mesh, halo, shard_batch)
+    x = jax.device_put(frames, NamedSharding(
+        mesh, P("data" if shard_batch else None)))
+    out = fwd(engine.params, engine.batch_stats, x)
+    out = np.asarray(out)[:, :h, :w, :]
     return out[0] if squeeze else out
 
 

@@ -44,7 +44,12 @@ from pcss_unet_tpu.ops import (
     resize_bilinear_align_corners,
     upsample2x_align_corners,
 )
-from pcss_unet_tpu.ops.resize import compose_resize_matrices, resize_with_matrices
+from pcss_unet_tpu.ops.resize import (
+    compose_resize_matrices,
+    resize_rows_window,
+    resize_with_matrices,
+    upsample2x_window,
+)
 
 Dtype = Any
 
@@ -100,7 +105,9 @@ class ConvBlock(nn.Module):
                 use_running_average=None,  # set via call-time arg
                 momentum=0.9,              # torch momentum 0.1 ≡ flax 0.9
                 epsilon=1e-5,
-                dtype=jnp.float32,         # stats in fp32 for bf16 stability
+                # stats in fp32 for bf16 stability; promote keeps an f64
+                # net (training-parity tests) fully f64
+                dtype=jnp.promote_types(jnp.float32, self.dtype),
                 param_dtype=self.param_dtype,
                 axis_name=self.bn_axis_name,
                 name=name,
@@ -303,6 +310,13 @@ class UNet(nn.Module):
     fused_inference: bool = False
     pallas_interpret: bool = False
     int8_inference: bool = False
+    # Spatially-sharded window mode (infer/tiled.py:infer_sharded_halo):
+    # (global_H, global_W) at input resolution.  When set, __call__ accepts
+    # ``window_offset`` (traced int32: the window's input-res row offset)
+    # and every align-corners resize uses GLOBAL coefficients so the
+    # window's output rows equal the corresponding rows of the full-frame
+    # forward (exact outside the receptive-field margin — spatial_halo()).
+    spatial_window: tuple[int, int] | None = None
 
     def _block(self, features, dropout, name, dilation=1):
         return ConvBlock(
@@ -322,15 +336,26 @@ class UNet(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 window_offset=None) -> jax.Array:
         orig_dtype = x.dtype
         n, h, w, c = x.shape
-        if h % 2 or w % 2:
+        windowed = self.spatial_window is not None and window_offset is not None
+        if windowed:
+            if h % 2 or w % 2 or self.spatial_window[0] % 2 \
+                    or self.spatial_window[1] % 2:
+                raise ValueError("window mode requires even window and "
+                                 "global sizes (pad first)")
+            if not self.fold_head_resize:
+                raise ValueError("window mode requires fold_head_resize")
+        elif h % 2 or w % 2:
             # odd-size fixup, reference Unetmodel.py:93-97 (static at trace time)
             x = resize_bilinear_align_corners(x, (h - h % 2, w - w % 2))
         x = x.astype(self.dtype)
         x = pixel_unshuffle_nhwc(x, 2)          # [B, H/2, W/2, in_ch*4]
         unshuffled_ch = self.in_ch * 4
+        # half-res window row offset (traced) for global-coefficient resizes
+        a_half = None if not windowed else window_offset // 2
 
         widths = tuple(self.encoder_widths)
         depth = len(widths)
@@ -367,8 +392,20 @@ class UNet(nn.Module):
 
         # --- decoder: upsample → conv block → additive skip ---
         for i, skip in enumerate(reversed(skips)):
-            x = upsample2x_align_corners(x)
+            if windowed:
+                # global-coefficient upsample: align-corners weights depend
+                # on the FULL frame height, not the window's (ops/resize.py)
+                scale = 2 ** (depth - 1 - i)
+                g_h = (self.spatial_window[0] // 2) // scale
+                x = upsample2x_window(x, g_h, a_half // scale)
+            else:
+                x = upsample2x_align_corners(x)
             if x.shape[1:3] != skip.shape[1:3]:
+                if windowed:
+                    raise ValueError(
+                        "window mode requires pooling-aligned sizes "
+                        f"(decoder level {i}: {x.shape[1:3]} vs "
+                        f"{skip.shape[1:3]})")
                 # size re-match, reference Unetmodel.py:118-119
                 x = resize_bilinear_align_corners(x, skip.shape[1:3])
             x = self._block(skip.shape[-1], self.dropout_rate,
@@ -384,7 +421,14 @@ class UNet(nn.Module):
         # either folded into one exact contraction per axis, or literally.
         hh, ww = x.shape[1], x.shape[2]
         th, tw = skips[0].shape[1], skips[0].shape[2]
-        if self.fold_head_resize:
+        if windowed:
+            # composed up-2×-then-match-down with GLOBAL coefficients; the
+            # window keeps its row count (global th == global hh)
+            g_hh = self.spatial_window[0] // 2
+            m_h_g, m_w_g = compose_resize_matrices((g_hh, g_hh * 2, g_hh),
+                                                   (ww, ww * 2, tw))
+            x = resize_rows_window(x, m_h_g, m_w_g, a_half, a_half)
+        elif self.fold_head_resize:
             m_h, m_w = compose_resize_matrices((hh, hh * 2, th),
                                                (ww, ww * 2, tw))
             x = resize_with_matrices(x, m_h, m_w)
@@ -399,6 +443,27 @@ class UNet(nn.Module):
         x = pixel_shuffle_nhwc(x, 2)              # [B, H, W, out_ch]
         x = jax.nn.sigmoid(x.astype(jnp.float32))  # Unetmodel.py:148
         return x.astype(orig_dtype) if orig_dtype == jnp.float32 else x
+
+
+def spatial_halo(model: UNet) -> int:
+    """Input-resolution halo rows guaranteeing window-exact outputs under
+    spatially-sharded inference (infer/tiled.py:infer_sharded_halo).
+
+    Receptive-field radius of the trunk in half-res rows: one 3×3 conv per
+    ConvBlock (radius = level scale × dilation), encoder + bottleneck +
+    mirrored decoder, plus the head-resize matrix band (≤3) and dec_final's
+    3×3 (1).  Doubled to input resolution and rounded up to the 16-row
+    pooling/unshuffle alignment the window offsets must keep."""
+    d = len(model.encoder_widths)
+    r = 0
+    for k in range(d - 1):                       # encoder levels
+        dil = (2 ** k) if model.apply_dilation else 1
+        r += (2 ** k) * dil
+    r += 2 ** (d - 1)                            # bottleneck
+    r += sum(2 ** k for k in range(d - 1))       # decoder mirror
+    r += 3 + 1                                   # head band + dec_final
+    r *= 2                                       # half-res → input rows
+    return -(-r // 16) * 16
 
 
 def unet_from_config(cfg) -> UNet:

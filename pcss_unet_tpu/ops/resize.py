@@ -145,3 +145,57 @@ def upsample2x_align_corners(x: jax.Array, method: str = "matmul") -> jax.Array:
     floor(in * 2), then samples with the align-corners grid."""
     n, h, w, c = x.shape
     return resize_bilinear_align_corners(x, (h * 2, w * 2), method)
+
+
+# ---------------------------------------------------------------------------
+# Window-consistent resizes for spatially-sharded inference
+# ---------------------------------------------------------------------------
+#
+# Align-corners coefficients depend on the GLOBAL image height (scale =
+# (in-1)/(out-1)), so a window's local resize is NOT a crop of the
+# full-frame resize.  These variants compute the window's rows of the
+# *global* resize: slice the global interpolation matrix at a traced row
+# offset (dynamic_slice — works under shard_map where the offset is a
+# function of axis_index).  Output rows within the matrix band (≤2 rows) of
+# the window edges lose out-of-window contributions; callers crop a margin
+# ≥ the network's receptive-field halo, which subsumes the band.
+
+
+def _einsum_rows(x: jax.Array, m_h: jax.Array) -> jax.Array:
+    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    return jnp.einsum("oh,nhwc->nowc", m_h.astype(x.dtype), x,
+                      precision=prec,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _einsum_cols(x: jax.Array, m_w: jax.Array) -> jax.Array:
+    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    return jnp.einsum("ow,nhwc->nhoc", m_w.astype(x.dtype), x,
+                      precision=prec,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def upsample2x_window(x: jax.Array, global_h: int, row_off) -> jax.Array:
+    """Rows [2·row_off, 2·row_off + 2·h_loc) of the GLOBAL align-corners 2×
+    upsample of a ``global_h``-row image, computed from the window rows
+    [row_off, row_off + h_loc).  ``row_off`` may be traced (int32 scalar);
+    ``global_h`` is static.  The W axis is global (unsharded)."""
+    n, h, w, c = x.shape
+    m_g = jnp.asarray(interp_matrix(global_h, global_h * 2))
+    m_h = jax.lax.dynamic_slice(m_g, (2 * row_off, row_off), (2 * h, h))
+    x = _einsum_rows(x, m_h)
+    return _einsum_cols(x, jnp.asarray(interp_matrix(w, w * 2)))
+
+
+def resize_rows_window(x: jax.Array, m_h_global: np.ndarray,
+                       m_w: np.ndarray, out_off, in_off) -> jax.Array:
+    """Apply a global square row-resize matrix to a window: rows
+    [out_off, out_off + h_loc) × cols [in_off, in_off + h_loc) of
+    ``m_h_global`` (offsets traced), then the full (global) ``m_w``."""
+    n, h, w, c = x.shape
+    m_h = jax.lax.dynamic_slice(jnp.asarray(m_h_global),
+                                (out_off, in_off), (h, h))
+    x = _einsum_rows(x, m_h)
+    if not _is_identity(m_w):
+        x = _einsum_cols(x, jnp.asarray(m_w))
+    return x

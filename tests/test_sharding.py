@@ -108,3 +108,86 @@ def test_spatial_only_sharding_full_frame(cpus):
     ref = jax.jit(fwd)(state, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Spatially-sharded inference that KEEPS the Pallas/int8 kernel posture
+# (shard_map windows with global-coefficient resizes — VERDICT r2 next #3)
+# ---------------------------------------------------------------------------
+
+def _make_engine(**kw):
+    from pcss_unet_tpu.infer.frame import InferenceEngine
+
+    model = UNet(encoder_widths=(8, 16, 32), dtype=kw.pop("dtype", jnp.float32))
+    x0 = jnp.zeros((1, 64, 64, 4), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key}, x0, False)
+    return InferenceEngine(model, variables, means=np.zeros(4, np.float32),
+                           stds=np.ones(4, np.float32), **kw)
+
+
+@pytest.mark.parametrize("spatial", [2, 4, 8])
+def test_halo_sharded_matches_single_device(cpus, spatial):
+    """Window decomposition with global-coefficient resizes reproduces the
+    single-device forward (fp32: to reduction-order noise, ≤2 ulp)."""
+    from pcss_unet_tpu.infer.tiled import infer_sharded_halo
+
+    eng = _make_engine(dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    frames = rng.standard_normal((2, 256, 96, 4)).astype(np.float32)
+    ref = np.asarray(eng.run_padded(jnp.asarray(frames)))
+    mesh = make_mesh(8 // spatial, spatial, devices=cpus)
+    out = infer_sharded_halo(eng, frames, mesh)
+    np.testing.assert_allclose(out, ref, atol=5e-7, rtol=0)
+
+
+def test_halo_sharded_fused_int8_bitexact(cpus):
+    """The full kernel posture (folded BN + fused Pallas + int8, interpret
+    mode on CPU) survives spatial sharding BIT-EXACTLY — the multi-chip
+    low-latency path runs the same kernels as single-chip."""
+    from pcss_unet_tpu.infer.tiled import infer_sharded_halo
+
+    eng = _make_engine(dtype=jnp.bfloat16, use_pallas=False, fold_bn=True,
+                      pallas_interpret=True, quantize="int8")
+    rng = np.random.default_rng(1)
+    frames = rng.standard_normal((2, 256, 96, 4)).astype(np.float32)
+    ref = np.asarray(eng.run_padded(jnp.asarray(frames)))
+    mesh = make_mesh(4, 2, devices=cpus)
+    out = infer_sharded_halo(eng, frames, mesh)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_infer_sharded_dispatches_to_halo_path(cpus):
+    """infer_sharded keeps kernels on when the posture has them: its output
+    equals the single-device fused forward (not the plain graph's)."""
+    from pcss_unet_tpu.infer.tiled import infer_sharded
+
+    eng = _make_engine(dtype=jnp.bfloat16, use_pallas=False, fold_bn=True,
+                      pallas_interpret=True)
+    assert eng.model.fused_inference
+    rng = np.random.default_rng(2)
+    frames = rng.standard_normal((2, 128, 64, 4)).astype(np.float32)
+    ref = np.asarray(eng.run_padded(jnp.asarray(frames)))
+    mesh = make_mesh(4, 2, devices=cpus)
+    out = infer_sharded(eng, frames, mesh)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_halo_sharded_odd_frame_pads(cpus):
+    """Frames not divisible by the shard alignment are padded internally and
+    cropped back.  The halo path pads H to a multiple of n_sp·16 (shard
+    offsets must stay pooling-aligned) — more than the single-device path's
+    16 — and align-corners coefficients depend on the global (padded) H, so
+    the correct oracle is the single-device forward on the SAME padding."""
+    from pcss_unet_tpu.infer.tiled import infer_sharded_halo
+
+    eng = _make_engine(dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    frames = rng.standard_normal((1, 200, 70, 4)).astype(np.float32)
+    mesh = make_mesh(4, 2, devices=cpus)
+    out = infer_sharded_halo(eng, frames, mesh)
+    assert out.shape == (1, 200, 70, 1)
+    padded = np.pad(frames, ((0, 0), (0, 24), (0, 10), (0, 0)),
+                    mode="reflect")        # same reflect pad the path applies
+    ref = np.asarray(eng.run_padded(jnp.asarray(padded)))[:, :200, :70]
+    np.testing.assert_allclose(out, ref, atol=5e-7, rtol=0)
