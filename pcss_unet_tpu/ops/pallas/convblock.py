@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _convblock_kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref,
                       w2_ref, b2_ref, out_ref, *, k_rows: int, wp: int,
-                      negative_slope: float):
+                      negative_slope: float, stack_taps: bool = False):
     i = pl.program_id(0)
     n = pl.num_programs(0)
     compute_dt = cur_ref.dtype
@@ -55,7 +55,7 @@ def _convblock_kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref,
     ext = jnp.concatenate([prev_last, cur_ref[0], next_first], axis=1)
 
     cmid = b1_ref.shape[0]
-    acc = jnp.zeros((cmid, k_rows * wp), jnp.float32)
+    taps = []
     for dy in range(3):
         band = ext[:, dy * wp: dy * wp + k_rows * wp]
         zcol = jnp.zeros((band.shape[0], 1), band.dtype)
@@ -69,7 +69,22 @@ def _convblock_kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref,
                 tap = jnp.concatenate([band[:, 1:], zcol], axis=1)
             else:                  # out[p] needs in[p-1] → shift right
                 tap = jnp.concatenate([zcol, band[:, :-1]], axis=1)
-            w_tap = w1_ref[dy * 3 + dx + 1]              # [Cmid, Cin]
+            taps.append(tap)
+    if stack_taps:
+        # ONE K=9·Cin MXU contraction instead of 9 K=Cin ones: stack the
+        # shifted taps along sublanes against the pre-flattened w1
+        # [Cmid, 9·Cin] (stacked host-side — Mosaic can't relayout the
+        # [9,Cmid,Cin] ref in-kernel).  Trades 9 short-K pipeline fills
+        # for one long-K pass plus a sublane-concat of the taps.
+        stacked = jnp.concatenate(taps, axis=0)          # [9·Cin, kWp]
+        acc = jax.lax.dot_general(
+            w1_ref[:].astype(compute_dt), stacked,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        acc = jnp.zeros((cmid, k_rows * wp), jnp.float32)
+        for t, tap in enumerate(taps):
+            w_tap = w1_ref[t]                            # [Cmid, Cin]
             acc += jax.lax.dot_general(
                 w_tap.astype(compute_dt), tap,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -86,11 +101,12 @@ def _convblock_kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("k_rows", "negative_slope",
-                                             "interpret"))
+                                             "interpret", "stack_taps"))
 def fused_conv_block_chw(x: jax.Array, w1: jax.Array, b1: jax.Array,
                          w2: jax.Array, b2: jax.Array, *, k_rows: int = 16,
                          negative_slope: float = 0.2,
-                         interpret: bool = False) -> jax.Array:
+                         interpret: bool = False,
+                         stack_taps: bool = False) -> jax.Array:
     """x [N, Cin, H, Wp] (W already zero-padded to a multiple of 128 with at
     least one pad column; pad rows if H % k_rows) → [N, Cout, H, Wp].
 
@@ -105,6 +121,13 @@ def fused_conv_block_chw(x: jax.Array, w1: jax.Array, b1: jax.Array,
     bands = h // k_rows
     x2 = x.reshape(n, cin, h * wp)
     grid = (bands, n)
+    if stack_taps:
+        # pre-flatten [9,Cmid,Cin] → [Cmid, 9·Cin] in XLA land; tap t's
+        # block column t·Cin:(t+1)·Cin pairs with taps[t] in the kernel
+        w1 = w1.transpose(1, 0, 2).reshape(cmid, 9 * cin)
+        w1_spec_shape = (cmid, 9 * cin)
+    else:
+        w1_spec_shape = (9, cmid, cin)
 
     def band_spec(off):
         return pl.BlockSpec(
@@ -117,11 +140,12 @@ def fused_conv_block_chw(x: jax.Array, w1: jax.Array, b1: jax.Array,
 
     out = pl.pallas_call(
         functools.partial(_convblock_kernel, k_rows=k_rows, wp=wp,
-                          negative_slope=negative_slope),
+                          negative_slope=negative_slope,
+                          stack_taps=stack_taps),
         out_shape=jax.ShapeDtypeStruct((n, cout, h * wp), x.dtype),
         grid=grid,
         in_specs=[band_spec(-1), band_spec(0), band_spec(+1),
-                  full((9, cmid, cin)), full((cmid, 1)),
+                  full(w1_spec_shape), full((cmid, 1)),
                   full((cout, cmid)), full((cout, 1))],
         out_specs=pl.BlockSpec((1, cout, k_rows * wp),
                                lambda i, b: (b, 0, i),
@@ -170,11 +194,12 @@ def _pick_k_rows(cin: int, cmid: int, cout: int, wp: int,
 
 
 @functools.partial(jax.jit, static_argnames=("k_rows", "negative_slope",
-                                             "interpret"))
+                                             "interpret", "stack_taps"))
 def fused_conv_block_nhwc(x: jax.Array, w1, b1, w2, b2, *,
                           k_rows: int | None = None,
                           negative_slope: float = 0.2,
-                          interpret: bool = False) -> jax.Array:
+                          interpret: bool = False,
+                          stack_taps: bool = False) -> jax.Array:
     """NHWC convenience wrapper: [N,H,W,Cin] → [N,H,W,Cout].  Pads W to the
     lane multiple and H to the band multiple, transposes to channels-major,
     runs the fused kernel, and transposes back (the transposes are XLA
@@ -190,5 +215,5 @@ def fused_conv_block_nhwc(x: jax.Array, w1, b1, w2, b2, *,
     xc = x.transpose(0, 3, 1, 2)
     out = fused_conv_block_chw(xc, w1, b1, w2, b2, k_rows=k_rows,
                                negative_slope=negative_slope,
-                               interpret=interpret)
+                               interpret=interpret, stack_taps=stack_taps)
     return out.transpose(0, 2, 3, 1)[:, :h, :w, :]
