@@ -30,6 +30,11 @@ def main(argv=None) -> None:
     p.add_argument("--alpha", type=float, default=3.0,
                    help="exponent weight (paper uses 3; reference default 5)")
     p.add_argument("--save_masks_dir", default=None)
+    p.add_argument("--fold_bn", action="store_true",
+                   help="fold BN and enable the fused deployment kernels "
+                        "(same posture as cli.infer --fold_bn)")
+    p.add_argument("--quantize", choices=["none", "int8"], default="none",
+                   help="int8 deployment posture (requires --fold_bn)")
     args = p.parse_args(argv)
     setup_logger()
 
@@ -48,7 +53,8 @@ def main(argv=None) -> None:
     means = stds = None
     if args.stats_dir:
         means, stds = load_channel_stats(args.stats_dir)
-    engine = InferenceEngine(model, variables, means=means, stds=stds)
+    engine = InferenceEngine(model, variables, means=means, stds=stds,
+                             fold_bn=args.fold_bn, quantize=args.quantize)
 
     exrs = sorted(f for f in os.listdir(args.frames_dir)
                   if f.endswith(".exr"))

@@ -41,10 +41,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _convblock_kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref,
                       w2_ref, b2_ref, out_ref, *, k_rows: int, wp: int,
-                      negative_slope: float, stack_taps: bool = False):
+                      negative_slope: float, stack_taps: bool = False,
+                      interpret: bool = False):
     i = pl.program_id(0)
     n = pl.num_programs(0)
-    compute_dt = cur_ref.dtype
+    # interpret mode inlines these dots as XLA CPU ops, and the CPU
+    # runtime's DotThunk lacks bf16×bf16→f32 at some shapes — compute in
+    # f32 there (the TPU compiled path keeps the input dtype on the MXU)
+    compute_dt = jnp.float32 if interpret else cur_ref.dtype
 
     prev_last = prev_ref[0, :, (k_rows - 1) * wp:]       # [Cin, Wp]
     next_first = next_ref[0, :, :wp]                     # [Cin, Wp]
@@ -78,7 +82,7 @@ def _convblock_kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref,
         # for one long-K pass plus a sublane-concat of the taps.
         stacked = jnp.concatenate(taps, axis=0)          # [9·Cin, kWp]
         acc = jax.lax.dot_general(
-            w1_ref[:].astype(compute_dt), stacked,
+            w1_ref[:].astype(compute_dt), stacked.astype(compute_dt),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     else:
@@ -86,7 +90,7 @@ def _convblock_kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref,
         for t, tap in enumerate(taps):
             w_tap = w1_ref[t]                            # [Cmid, Cin]
             acc += jax.lax.dot_general(
-                w_tap.astype(compute_dt), tap,
+                w_tap.astype(compute_dt), tap.astype(compute_dt),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
     h = acc + b1_ref[:].astype(jnp.float32)
@@ -141,7 +145,7 @@ def fused_conv_block_chw(x: jax.Array, w1: jax.Array, b1: jax.Array,
     out = pl.pallas_call(
         functools.partial(_convblock_kernel, k_rows=k_rows, wp=wp,
                           negative_slope=negative_slope,
-                          stack_taps=stack_taps),
+                          stack_taps=stack_taps, interpret=interpret),
         out_shape=jax.ShapeDtypeStruct((n, cout, h * wp), x.dtype),
         grid=grid,
         in_specs=[band_spec(-1), band_spec(0), band_spec(+1),

@@ -32,11 +32,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-            out_ref, *, k_rows: int, negative_slope: float):
+            out_ref, *, k_rows: int, negative_slope: float,
+            interpret: bool = False):
     b = pl.program_id(1)
     nbands = pl.num_programs(1)
     w = cur_ref.shape[2]
-    dt = cur_ref.dtype
+    # interpret mode inlines these dots as XLA CPU ops; the CPU runtime's
+    # DotThunk lacks bf16×bf16→f32 at some shapes → compute in f32 there
+    dt = jnp.float32 if interpret else cur_ref.dtype
 
     prev_last = prev_ref[0, k_rows - 1:, :, :]
     next_first = next_ref[0, :1, :, :]
@@ -58,13 +61,15 @@ def _kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             else:
                 tap = jnp.concatenate([zcol, rows[:, :-1, :]], axis=1)
             acc += jax.lax.dot_general(
-                tap.reshape(k_rows * w, -1), w1_ref[dy * 3 + dx + 1],
+                tap.reshape(k_rows * w, -1).astype(dt),
+                w1_ref[dy * 3 + dx + 1].astype(dt),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
     h = acc + b1_ref[0]
     h = jnp.where(h >= 0, h, h * negative_slope).astype(dt)
     out = jax.lax.dot_general(
-        h, w2_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        h, w2_ref[:].astype(dt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     out = out + b2_ref[0]
     out = jnp.where(out >= 0, out, out * negative_slope)
@@ -121,7 +126,8 @@ def fused_block128_nhwc(x: jax.Array, w1: jax.Array, b1: jax.Array,
 
     out = pl.pallas_call(
         functools.partial(_kernel, k_rows=k_rows,
-                          negative_slope=negative_slope),
+                          negative_slope=negative_slope,
+                          interpret=interpret),
         out_shape=jax.ShapeDtypeStruct((n, h, w, cout), x.dtype),
         grid=grid,
         in_specs=[band_spec(-1), band_spec(0), band_spec(+1),
