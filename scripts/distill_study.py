@@ -94,6 +94,9 @@ def main() -> None:
     p.add_argument("--epochs", type=int, default=60)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--distill_weight", type=float, default=1.0)
+    p.add_argument("--variety", action="store_true",
+                   help="use the harder multi-regime scene (the capacity-"
+                        "gap task; see make_synthetic_scene.py --variety)")
     args = p.parse_args()
 
     work = args.work or tempfile.mkdtemp(prefix="distill_study_")
@@ -103,7 +106,8 @@ def main() -> None:
 
     run([py, "scripts/make_synthetic_scene.py", "--out", scene,
          "--frames", str(args.frames), "--height", str(args.size),
-         "--width", str(args.size)])
+         "--width", str(args.size)]
+        + (["--variety"] if args.variety else []))
     run([py, "-m", "pcss_unet_tpu.cli.organize", "--scene_dir", scene,
          "--out_dir", data])
     run([py, "-m", "pcss_unet_tpu.cli.prepare",

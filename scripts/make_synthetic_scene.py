@@ -62,6 +62,64 @@ def render_frame(rng: np.random.Generator, h: int, w: int):
             np.clip(soft, 0, 1))
 
 
+def render_frame_variety(rng: np.random.Generator, h: int, w: int):
+    """Harder multi-regime frame for the capacity/distillation study
+    (VERDICT r2 next #6; paper Table 1's penumbra-width-vs-blocker-depth
+    regime, paper.md:179-203): per-frame light size, contact-hardening
+    penumbra gradients, mixed occluder shapes, varied backgrounds.  The
+    A channel carries the PCSS penumbra proxy (occluder height × light
+    size) the net must map to a spatially-varying blur width."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    yy /= h
+    xx /= w
+    slope = rng.uniform(0.2, 0.8)
+    depth = (0.3 + slope * yy
+             + rng.uniform(0.02, 0.1) * np.sin(xx * rng.uniform(4, 14)
+                                               + rng.uniform(0, 6.28)))
+    normal_dot = np.clip(
+        0.5 + 0.5 * np.cos(yy * rng.uniform(1, 5) + rng.uniform(0, 3))
+        * np.cos(xx * rng.uniform(0, 4) + rng.uniform(0, 3)), 0, 1)
+
+    light = rng.uniform(0.4, 2.5)            # per-frame light size (Table 1)
+    hard = np.ones((h, w), np.float32)
+    occ = np.zeros((h, w), np.float32)
+    soft = np.ones((h, w), np.float32)
+    for _ in range(rng.integers(3, 8)):
+        cy, cx = rng.uniform(0.1, 0.9, 2)
+        height = rng.uniform(0.05, 0.7)
+        if rng.random() < 0.6:               # disc
+            r = rng.uniform(0.04, 0.16)
+            d2 = (yy - cy) ** 2 + ((xx - cx) * w / h) ** 2
+            mask = d2 < r * r
+            extent = r
+        else:                                # rotated bar
+            th = rng.uniform(0, np.pi)
+            a = rng.uniform(0.08, 0.3)
+            b = rng.uniform(0.02, 0.07)
+            u = (xx - cx) * np.cos(th) + (yy - cy) * np.sin(th)
+            v = -(xx - cx) * np.sin(th) + (yy - cy) * np.cos(th)
+            mask = (np.abs(u) < a) & (np.abs(v) < b)
+            extent = a
+        if not mask.any():
+            continue
+        hard[mask] = 0.0
+        scale = min(height * light, 1.2)     # PCSS penumbra proxy
+        occ = np.maximum(occ, mask * scale)
+        # contact hardening: blur width grows along a random direction
+        # across the shadow (hard at the contact end, wide at the far end)
+        ang = rng.uniform(0, 6.28)
+        s = ((xx - cx) * np.cos(ang) + (yy - cy) * np.sin(ang)) / (
+            2.0 * extent + 1e-6)
+        s = np.clip(s * 0.5 + 0.5, 0.0, 1.0)
+        k_lo = max(1, int(scale * 8))
+        k_hi = max(2, min(int(scale * 48), w // 3))
+        inv = (~mask).astype(np.float32)
+        sh = (box_blur(inv, k_lo) * (1 - s) + box_blur(inv, k_hi) * s)
+        soft = np.minimum(soft, sh)
+    return (np.stack([depth, normal_dot, hard, occ], -1),
+            np.clip(soft, 0, 1))
+
+
 def render_sequence(rng: np.random.Generator, h: int, w: int, frames: int):
     """Temporally coherent animation: the same occluder discs move along
     straight paths over a static background, with exact per-pixel motion
@@ -115,6 +173,10 @@ def main() -> None:
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--variety", action="store_true",
+                   help="harder multi-regime frames (light-size sweep, "
+                        "contact hardening, mixed occluder shapes) — the "
+                        "distillation-study task")
     p.add_argument("--animate", action="store_true",
                    help="also write an animated sequence with ground-truth "
                         "motion vectors: <out>/sequence/*.exr, "
@@ -131,8 +193,9 @@ def main() -> None:
     os.makedirs(exr_dir, exist_ok=True)
     os.makedirs(png_dir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
+    render = render_frame_variety if args.variety else render_frame
     for i in range(args.frames):
-        gbuf, soft = render_frame(rng, args.height, args.width)
+        gbuf, soft = render(rng, args.height, args.width)
         write_exr(os.path.join(exr_dir, f"frame{i:04d}.exr"),
                   {"R": gbuf[..., 0], "G": gbuf[..., 1],
                    "B": gbuf[..., 2], "A": gbuf[..., 3]})
