@@ -12,7 +12,9 @@ plus a faster native C++ twin (``native/exr/exr_codec.cpp``, wrapped by
   bindings read transparently (setdata.py:42)
 - compression: NONE, RLE, ZIPS, ZIP (16 lines/chunk), PIZ (32 lines/chunk,
   wavelet + Huffman — io/piz.py), PXR24 (lossy 24-bit floats, lossless
-  HALF/UINT); for tiled files every scheme compresses whole tiles
+  HALF/UINT), DWAA/DWAB (32/256 lines/chunk, lossy 8×8 DCT — io/dwa.py;
+  Python codec only, the native codec rejects them and the dispatcher
+  falls back); for tiled files every scheme compresses whole tiles
 - pixel types: HALF, FLOAT, UINT
 - INCREASING_Y line order
 
@@ -34,8 +36,10 @@ PT_UINT, PT_HALF, PT_FLOAT = 0, 1, 2
 _DTYPES = {PT_UINT: np.dtype("<u4"), PT_HALF: np.dtype("<f2"),
            PT_FLOAT: np.dtype("<f4")}
 COMP_NONE, COMP_RLE, COMP_ZIPS, COMP_ZIP, COMP_PIZ, COMP_PXR24 = 0, 1, 2, 3, 4, 5
+COMP_B44, COMP_B44A, COMP_DWAA, COMP_DWAB = 6, 7, 8, 9
 _LINES_PER_CHUNK = {COMP_NONE: 1, COMP_RLE: 1, COMP_ZIPS: 1, COMP_ZIP: 16,
-                    COMP_PIZ: 32, COMP_PXR24: 16}
+                    COMP_PIZ: 32, COMP_PXR24: 16, COMP_DWAA: 32,
+                    COMP_DWAB: 256}
 
 
 def _float_to_f24(bits: np.ndarray) -> np.ndarray:
@@ -244,8 +248,8 @@ class ExrFile:
         self.compression = self.attrs["compression"][1][0]
         if self.compression not in _LINES_PER_CHUNK:
             raise ValueError(f"unsupported EXR compression {self.compression} "
-                             "(supported: NONE, RLE, ZIPS, ZIP, PIZ, PXR24; "
-                             "not supported: B44/B44A/DWAA/DWAB)")
+                             "(supported: NONE, RLE, ZIPS, ZIP, PIZ, PXR24, "
+                             "DWAA, DWAB; not supported: B44/B44A)")
         xmin, ymin, xmax, ymax = struct.unpack("<4i", self.attrs["dataWindow"][1])
         self.width = xmax - xmin + 1
         self.height = ymax - ymin + 1
@@ -293,6 +297,11 @@ class ExrFile:
         raw_size = sum(row_nbytes) * n_lines
         if self.compression == COMP_NONE or len(payload) >= raw_size:
             raw = payload   # stored raw (incompressible block)
+        elif self.compression in (COMP_DWAA, COMP_DWAB):
+            from pcss_unet_tpu.io.dwa import dwa_decompress
+
+            decoded = dwa_decompress(payload, self.channels, width, n_lines)
+            return {k: v for k, v in decoded.items() if k in wanted}
         elif self.compression == COMP_PIZ:
             from pcss_unet_tpu.io.piz import piz_decompress
 
@@ -371,6 +380,12 @@ def _compress_block(rows: bytes, arrs, names, compression: int,
 
         chans = [_Channel(n, pixel_type) for n in names]
         comp = piz_compress(rows, chans, width, arrs[0].shape[0])
+    elif compression in (COMP_DWAA, COMP_DWAB):
+        from pcss_unet_tpu.io.dwa import dwa_compress
+
+        chans = [_Channel(n, pixel_type) for n in names]
+        comp = dwa_compress({n: a for n, a in zip(names, arrs)}, chans,
+                            width, arrs[0].shape[0])
     else:
         comp = zlib.compress(_zip_do_transform(rows))
     return comp if len(comp) < len(rows) else rows

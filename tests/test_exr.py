@@ -340,3 +340,131 @@ def test_mipmap_rejected_loudly(tmp_path, rng, backend):
     open(path, "wb").write(bytes(data))
     with pytest.raises((ValueError, IOError), match="mipmap"):
         read_exr_channels(path, ["R"])
+
+
+# ---------------------------------------------------------------------------
+# DWA (DWAA/DWAB) — io/dwa.py, implemented from the format spec with the
+# PIZ discipline (VERDICT r2 next #8).  The reference's OpenEXR bindings
+# accept DWA transparently (setdata.py:42); DWAA is a common renderer
+# default.  Python codec only; the native codec rejects DWA and the
+# dispatcher falls back transparently.
+# ---------------------------------------------------------------------------
+
+def _smooth_rgbaz(rng, h, w):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    mk = lambda p: 0.5 + 0.4 * np.sin(xx / 9 + p) * np.cos(yy / 7 + p)
+    return {"R": mk(0), "G": mk(1), "B": mk(2),
+            "A": (rng.random((h, w)) > 0.5).astype(np.float32),
+            "Z": rng.standard_normal((h, w)).astype(np.float32)}
+
+
+@pytest.mark.parametrize("comp", [exr_py.COMP_DWAA, exr_py.COMP_DWAB])
+def test_dwa_roundtrip_half(tmp_path, rng, comp):
+    """Lossy-DCT R/G/B stay within the level-45 error budget (>45 dB on
+    smooth content); the RLE-scheme A channel and the UNKNOWN-scheme Z
+    channel are bit-exact at half precision."""
+    h, w = 70, 125                     # non-multiples of 8 and chunk height
+    chans = _smooth_rgbaz(rng, h, w)
+    path = str(tmp_path / "d.exr")
+    exr_py.write_exr_py(path, chans, compression=comp, pixel_type=PT_HALF)
+    back = exr_py.read_exr_channels_py(path, list(chans))
+    for n in ("R", "G", "B"):
+        ref = chans[n].astype(np.float16).astype(np.float32)
+        mse = float(np.mean((back[n] - ref) ** 2))
+        psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+        assert psnr > 45.0, (n, psnr)
+    for n in ("A", "Z"):
+        np.testing.assert_array_equal(
+            back[n], chans[n].astype(np.float16).astype(np.float32))
+
+
+def test_dwa_float_channels_lossless(tmp_path, rng):
+    """FLOAT channels classify as UNKNOWN → deflate, bit-exact roundtrip."""
+    chans = _smooth_rgbaz(rng, 33, 47)
+    path = str(tmp_path / "df.exr")
+    exr_py.write_exr_py(path, chans, compression=exr_py.COMP_DWAA,
+                        pixel_type=PT_FLOAT)
+    back = exr_py.read_exr_channels_py(path, list(chans))
+    for n in chans:
+        np.testing.assert_array_equal(back[n], chans[n])
+
+
+def test_dwa_beats_zip_on_smooth_halves(tmp_path, rng):
+    """The point of DWA: smaller than ZIP on smooth render output."""
+    chans = _smooth_rgbaz(rng, 128, 128)
+    pz = str(tmp_path / "z.exr")
+    pd = str(tmp_path / "d.exr")
+    exr_py.write_exr_py(pz, chans, compression=COMP_ZIP, pixel_type=PT_HALF)
+    exr_py.write_exr_py(pd, chans, compression=exr_py.COMP_DWAA,
+                        pixel_type=PT_HALF)
+    assert os.path.getsize(pd) < os.path.getsize(pz)
+
+
+def test_dwa_tiled(tmp_path, rng):
+    """Whole-tile DWA compression through the ONE_LEVEL tiled container."""
+    chans = _smooth_rgbaz(rng, 40, 56)
+    path = str(tmp_path / "dt.exr")
+    exr_py.write_exr_py(path, chans, compression=exr_py.COMP_DWAA,
+                        pixel_type=PT_HALF, tile_size=(16, 16))
+    back = exr_py.read_exr_channels_py(path, list(chans))
+    for n in ("A", "Z"):
+        np.testing.assert_array_equal(
+            back[n], chans[n].astype(np.float16).astype(np.float32))
+    ref = chans["R"].astype(np.float16).astype(np.float32)
+    mse = float(np.mean((back["R"] - ref) ** 2))
+    assert 10 * np.log10(1.0 / max(mse, 1e-12)) > 45.0
+
+
+def test_dwa_dispatcher_falls_back_to_python(tmp_path, rng, monkeypatch):
+    """With the native backend preferred (default), a DWA file must still
+    read — the native codec rejects it and the dispatcher retries with the
+    Python codec (io/exr.py:139-153)."""
+    monkeypatch.delenv("PCSS_EXR_BACKEND", raising=False)
+    chans = {"R": rng.random((24, 24)).astype(np.float32),
+             "G": rng.random((24, 24)).astype(np.float32),
+             "B": rng.random((24, 24)).astype(np.float32)}
+    path = str(tmp_path / "fb.exr")
+    exr_py.write_exr_py(path, chans, compression=exr_py.COMP_DWAA,
+                        pixel_type=PT_HALF)
+    stack = read_exr_stack(path)
+    assert stack.shape == (24, 24, 4)
+    ref = chans["R"].astype(np.float16).astype(np.float32)
+    assert float(np.abs(stack[..., 0] - ref).max()) < 0.05
+
+
+def test_dwa_extreme_and_constant_planes(tmp_path, rng):
+    """Constant planes (pure DC) and extreme halfs survive the quantizer."""
+    h, w = 32, 64
+    chans = {"R": np.full((h, w), 0.25, np.float32),
+             "G": np.zeros((h, w), np.float32),
+             "B": np.full((h, w), -2.0, np.float32)}
+    path = str(tmp_path / "dc.exr")
+    exr_py.write_exr_py(path, chans, compression=exr_py.COMP_DWAA,
+                        pixel_type=PT_HALF)
+    back = exr_py.read_exr_channels_py(path, list(chans))
+    for n, v in (("R", 0.25), ("G", 0.0), ("B", -2.0)):
+        assert float(np.abs(back[n] - v).max()) < 0.01, n
+
+
+def test_dwa_version2_rules_block_skipped(tmp_path, rng):
+    """A version-2 chunk (serialized channel rules) decodes with default
+    rules: the rules block is measured by its leading size field and
+    skipped (io/dwa.py module docstring)."""
+    import struct as _struct
+
+    from pcss_unet_tpu.io.dwa import dwa_compress, dwa_decompress
+    from pcss_unet_tpu.io.exr_py import _Channel
+
+    h, w = 16, 32
+    chans = [_Channel("R", exr_py.PT_HALF)]
+    arrs = {"R": rng.random((h, w)).astype(np.float32)}
+    payload = dwa_compress(arrs, chans, w, h)
+    # rewrite as version 2 with a 6-byte dummy rules block
+    body = payload[88:]
+    hdr = list(_struct.unpack("<11Q", payload[:88]))
+    hdr[0] = 2
+    rules = _struct.pack("<H", 6) + b"\x00" * 4
+    v2 = _struct.pack("<11Q", *hdr) + rules + body
+    out = dwa_decompress(v2, chans, w, h)
+    ref = dwa_decompress(payload, chans, w, h)
+    np.testing.assert_array_equal(out["R"], ref["R"])
