@@ -17,7 +17,39 @@ import numpy as np
 BASELINE_FPS_PER_CHIP = 2000.0 / 60.0 / 8.0  # north-star per chip
 
 
+def _device_reachable(attempts: int = 3, timeout_s: int = 240) -> bool:
+    """Bounded probe of backend init in a subprocess.  On this image the
+    TPU tunnel's PJRT client blocks *indefinitely* inside backend init when
+    the tunnel is down — an unguarded jax.devices() here would hang the
+    whole benchmark run rather than fail.  Probing in a child with a
+    timeout turns that hang into a clean, reportable failure."""
+    import subprocess
+
+    for i in range(attempts):
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", "import jax; print(jax.devices()[0])"],
+                capture_output=True, text=True, timeout=timeout_s)
+            if p.returncode == 0:
+                return True
+            print(f"device probe {i + 1}/{attempts} failed: "
+                  f"{p.stderr.strip()[-300:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"device probe {i + 1}/{attempts} timed out "
+                  f"({timeout_s}s): backend init is blocking", file=sys.stderr)
+        time.sleep(30)
+    return False
+
+
 def main() -> None:
+    if not _device_reachable():
+        print(json.dumps({
+            "metric": "1080p_inference_frames_per_sec_per_chip",
+            "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
+            "error": "accelerator unreachable: backend init failed/hung "
+                     "after bounded probes (TPU tunnel down?)",
+        }))
+        sys.exit(1)
     import jax
     import jax.numpy as jnp
 

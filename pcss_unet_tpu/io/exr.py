@@ -136,10 +136,18 @@ def _read_channels_native(path: str, names: Sequence[str]):
         lib.pcss_exr_close(handle)
 
 
-def read_exr_channels(path: str, names: Sequence[str]) -> dict:
-    """Raw channel access: {name: float32 [H,W] or None if absent}."""
+def read_exr_channels(path: str, names: Sequence[str],
+                      part: int | str = 0) -> dict:
+    """Raw channel access: {name: float32 [H,W] or None if absent}.
+
+    ``part`` selects a part of a multi-part file by index or name
+    (default 0, which is also what the reference's ``OpenEXR.InputFile``
+    exposes — setdata.py:42).  Non-default parts route to the Python
+    codec directly; the native codec is single-part."""
     if not os.path.exists(path):
         raise IOError(f"EXR file does not exist: {path}")
+    if part != 0:
+        return exr_py.read_exr_channels_py(path, list(names), part=part)
     if os.environ.get("PCSS_EXR_BACKEND") != "python":
         try:
             result = _read_channels_native(path, names)

@@ -10,11 +10,19 @@ plus a faster native C++ twin (``native/exr/exr_codec.cpp``, wrapped by
 - single-part TILED files, ONE_LEVEL (level-0 only; mipmap/ripmap rejected
   loudly) — tiled is a common renderer output mode the reference's OpenEXR
   bindings read transparently (setdata.py:42)
+- MULTI-PART files (version flag 0x1000, pixel parts only — deep parts
+  rejected loudly): readers default to part 0, matching what the
+  reference's ``OpenEXR.InputFile`` exposes on a multi-part file, with
+  index/name selection via ``part=``; ``write_exr_multipart_py`` writes
+  them (name/type/chunkCount attrs, part-number chunk prefixes,
+  back-to-back offset tables)
 - compression: NONE, RLE, ZIPS, ZIP (16 lines/chunk), PIZ (32 lines/chunk,
   wavelet + Huffman — io/piz.py), PXR24 (lossy 24-bit floats, lossless
-  HALF/UINT), DWAA/DWAB (32/256 lines/chunk, lossy 8×8 DCT — io/dwa.py;
-  Python codec only, the native codec rejects them and the dispatcher
-  falls back); for tiled files every scheme compresses whole tiles
+  HALF/UINT), B44/B44A (32 lines/chunk, fixed-rate lossy 4×4 half blocks
+  — io/b44.py), DWAA/DWAB (32/256 lines/chunk, lossy 8×8 DCT — io/dwa.py;
+  B44/DWA are Python-codec only, the native codec rejects them and the
+  dispatcher falls back); for tiled files every scheme compresses whole
+  tiles
 - pixel types: HALF, FLOAT, UINT
 - INCREASING_Y line order
 
@@ -38,8 +46,8 @@ _DTYPES = {PT_UINT: np.dtype("<u4"), PT_HALF: np.dtype("<f2"),
 COMP_NONE, COMP_RLE, COMP_ZIPS, COMP_ZIP, COMP_PIZ, COMP_PXR24 = 0, 1, 2, 3, 4, 5
 COMP_B44, COMP_B44A, COMP_DWAA, COMP_DWAB = 6, 7, 8, 9
 _LINES_PER_CHUNK = {COMP_NONE: 1, COMP_RLE: 1, COMP_ZIPS: 1, COMP_ZIP: 16,
-                    COMP_PIZ: 32, COMP_PXR24: 16, COMP_DWAA: 32,
-                    COMP_DWAB: 256}
+                    COMP_PIZ: 32, COMP_PXR24: 16, COMP_B44: 32, COMP_B44A: 32,
+                    COMP_DWAA: 32, COMP_DWAB: 256}
 
 
 def _float_to_f24(bits: np.ndarray) -> np.ndarray:
@@ -217,10 +225,30 @@ def _zip_do_transform(data: bytes) -> bytes:
     return deltas.astype(np.uint8).tobytes()
 
 
-class ExrFile:
-    """Parsed single-part scanline EXR."""
+def _read_attrs(data: bytes, pos: int) -> tuple[dict[str, tuple[str, bytes]], int]:
+    """Read one header (attribute list up to its null terminator)."""
+    attrs: dict[str, tuple[str, bytes]] = {}
+    while True:
+        name, pos = _read_cstr(data, pos)
+        if not name:
+            break
+        atype, pos = _read_cstr(data, pos)
+        size = struct.unpack_from("<i", data, pos)[0]
+        pos += 4
+        attrs[name] = (atype, data[pos:pos + size])
+        pos += size
+    return attrs, pos
 
-    def __init__(self, data: bytes):
+
+class ExrFile:
+    """Parsed single- or multi-part EXR (pixel parts; deep rejected).
+
+    For multi-part files ``part`` selects which part to expose — an index
+    or a part name — defaulting to part 0, which is what the reference's
+    ``OpenEXR.InputFile`` bindings read from a multi-part file
+    (setdata.py:42)."""
+
+    def __init__(self, data: bytes, part: int | str = 0):
         if len(data) < 8:
             raise ValueError("not an EXR file (truncated header)")
         if struct.unpack_from("<i", data, 0)[0] != MAGIC:
@@ -229,27 +257,50 @@ class ExrFile:
         # version-field flags: 0x200 tiled, 0x400 long names (harmless),
         # 0x800 deep data, 0x1000 multi-part
         self.tiled = bool(version & 0x200)
+        self.multipart = bool(version & 0x1000)
         if version & 0x800:
             raise ValueError("deep-data EXR not supported")
-        if version & 0x1000:
-            raise ValueError("multi-part EXR not supported")
         pos = 8
-        self.attrs: dict[str, tuple[str, bytes]] = {}
-        while True:
-            name, pos = _read_cstr(data, pos)
-            if not name:
-                break
-            atype, pos = _read_cstr(data, pos)
-            size = struct.unpack_from("<i", data, pos)[0]
-            pos += 4
-            self.attrs[name] = (atype, data[pos:pos + size])
-            pos += size
+        if self.multipart:
+            headers: list[dict] = []
+            while data[pos] != 0:
+                attrs, pos = _read_attrs(data, pos)
+                headers.append(attrs)
+            pos += 1  # empty header terminating the list
+            names = [h.get("name", ("", b""))[1].decode("latin-1")
+                     for h in headers]
+            if isinstance(part, str):
+                if part not in names:
+                    raise ValueError(f"no part named {part!r} "
+                                     f"(parts: {names})")
+                part = names.index(part)
+            if not 0 <= part < len(headers):
+                raise ValueError(f"part {part} out of range "
+                                 f"({len(headers)} parts)")
+            self.part_names = names
+            self.attrs = headers[part]
+            ptype = self.attrs.get("type", ("", b""))[1].rstrip(b"\x00")
+            if ptype in (b"deepscanline", b"deeptile"):
+                raise ValueError("deep-data EXR part not supported")
+            self.tiled = ptype == b"tiledimage"
+            counts = [struct.unpack("<i", h["chunkCount"][1])[0]
+                      for h in headers]
+            # offset tables are stored back-to-back in part order
+            pos += 8 * sum(counts[:part])
+            self._n_chunks_forced = counts[part]
+            self._chunk_prefix = 4  # every chunk leads with its part number
+        else:
+            self.attrs, pos = _read_attrs(data, pos)
+            self.part_names = [
+                self.attrs.get("name", ("", b""))[1].decode("latin-1")]
+            self._n_chunks_forced = None
+            self._chunk_prefix = 0
         self.channels = _parse_chlist(self.attrs["channels"][1])
         self.compression = self.attrs["compression"][1][0]
         if self.compression not in _LINES_PER_CHUNK:
             raise ValueError(f"unsupported EXR compression {self.compression} "
                              "(supported: NONE, RLE, ZIPS, ZIP, PIZ, PXR24, "
-                             "DWAA, DWAB; not supported: B44/B44A)")
+                             "B44, B44A, DWAA, DWAB)")
         xmin, ymin, xmax, ymax = struct.unpack("<4i", self.attrs["dataWindow"][1])
         self.width = xmax - xmin + 1
         self.height = ymax - ymin + 1
@@ -268,6 +319,8 @@ class ExrFile:
         else:
             lpc = _LINES_PER_CHUNK[self.compression]
             n_chunks = (self.height + lpc - 1) // lpc
+        if self._n_chunks_forced is not None:
+            n_chunks = self._n_chunks_forced
         self._chunk_offsets = struct.unpack_from(f"<{n_chunks}q", data, pos)
         self._data = data
         self._lpc = lpc
@@ -302,6 +355,11 @@ class ExrFile:
 
             decoded = dwa_decompress(payload, self.channels, width, n_lines)
             return {k: v for k, v in decoded.items() if k in wanted}
+        elif self.compression in (COMP_B44, COMP_B44A):
+            from pcss_unet_tpu.io.b44 import b44_decompress
+
+            decoded = b44_decompress(payload, self.channels, width, n_lines)
+            return {k: v for k, v in decoded.items() if k in wanted}
         elif self.compression == COMP_PIZ:
             from pcss_unet_tpu.io.piz import piz_decompress
 
@@ -330,8 +388,10 @@ class ExrFile:
                    if n in have else None) for n in names}
         wanted = {n for n in names if n in have}
         data = self._data
+        pre = self._chunk_prefix  # multi-part chunks lead with a part number
         if self.tiled:
             for off in self._chunk_offsets:
+                off += pre
                 # tile chunk: dx, dy, levelX, levelY, dataSize, payload
                 dx, dy, lx, ly, size = struct.unpack_from("<5i", data, off)
                 if lx or ly:
@@ -347,6 +407,7 @@ class ExrFile:
             return out
         # channels are stored per scanline in chlist (alphabetical) order
         for off in self._chunk_offsets:
+            off += pre
             y, size = struct.unpack_from("<ii", data, off)
             payload = data[off + 8: off + 8 + size]
             y0 = y - self.y_min
@@ -357,9 +418,10 @@ class ExrFile:
         return out
 
 
-def read_exr_channels_py(path: str, names: list[str]) -> dict[str, np.ndarray | None]:
+def read_exr_channels_py(path: str, names: list[str],
+                         part: int | str = 0) -> dict[str, np.ndarray | None]:
     with open(path, "rb") as f:
-        return ExrFile(f.read()).read_channels(names)
+        return ExrFile(f.read(), part=part).read_channels(names)
 
 
 def _compress_block(rows: bytes, arrs, names, compression: int,
@@ -386,17 +448,29 @@ def _compress_block(rows: bytes, arrs, names, compression: int,
         chans = [_Channel(n, pixel_type) for n in names]
         comp = dwa_compress({n: a for n, a in zip(names, arrs)}, chans,
                             width, arrs[0].shape[0])
+    elif compression in (COMP_B44, COMP_B44A):
+        from pcss_unet_tpu.io.b44 import b44_compress
+
+        chans = [_Channel(n, pixel_type) for n in names]
+        comp = b44_compress({n: a for n, a in zip(names, arrs)}, chans,
+                            width, arrs[0].shape[0],
+                            flat_ok=compression == COMP_B44A)
     else:
         comp = zlib.compress(_zip_do_transform(rows))
     return comp if len(comp) < len(rows) else rows
 
 
-def write_exr_py(path: str, channels: dict[str, np.ndarray],
-                 compression: int = COMP_ZIP, pixel_type: int = PT_FLOAT,
-                 tile_size: tuple[int, int] | None = None) -> None:
-    """Write a single-part EXR — scanline by default, or ONE_LEVEL tiled
-    when ``tile_size=(tile_w, tile_h)`` is given (version flag 0x200 +
-    'tiles' tiledesc attribute; whole-tile compression)."""
+def _attr(name: str, atype: str, payload: bytes) -> bytes:
+    return (name.encode() + b"\x00" + atype.encode() + b"\x00"
+            + struct.pack("<i", len(payload)) + payload)
+
+
+def _prep_part(channels: dict[str, np.ndarray], compression: int,
+               pixel_type: int, tile_size: tuple[int, int] | None):
+    """Validate + cast one part's channels, build its header attribute
+    block (sans the part-specific name/type/chunkCount attrs and the
+    terminating null) and its chunk list.
+    -> (header_attrs: bytes, chunks: list[(chunk_hdr, payload)])."""
     names = sorted(channels)  # chlist must be alphabetical
     arrs = [np.asarray(channels[n]) for n in names]
     h, w = arrs[0].shape
@@ -406,36 +480,27 @@ def write_exr_py(path: str, channels: dict[str, np.ndarray],
     dt = _DTYPES[pixel_type]
     arrs = [np.ascontiguousarray(a.astype(dt)) for a in arrs]
 
-    def attr(name: str, atype: str, payload: bytes) -> bytes:
-        return (name.encode() + b"\x00" + atype.encode() + b"\x00"
-                + struct.pack("<i", len(payload)) + payload)
-
     chlist = b""
     for n in names:
         chlist += n.encode() + b"\x00" + struct.pack("<i4xii", pixel_type, 1, 1)
     chlist += b"\x00"
     box = struct.pack("<4i", 0, 0, w - 1, h - 1)
     header = (
-        attr("channels", "chlist", chlist)
-        + attr("compression", "compression", bytes([compression]))
-        + attr("dataWindow", "box2i", box)
-        + attr("displayWindow", "box2i", box)
-        + attr("lineOrder", "lineOrder", b"\x00")
-        + attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
-        + attr("screenWindowCenter", "v2f", struct.pack("<2f", 0.0, 0.0))
-        + attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+        _attr("channels", "chlist", chlist)
+        + _attr("compression", "compression", bytes([compression]))
+        + _attr("dataWindow", "box2i", box)
+        + _attr("displayWindow", "box2i", box)
+        + _attr("lineOrder", "lineOrder", b"\x00")
+        + _attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+        + _attr("screenWindowCenter", "v2f", struct.pack("<2f", 0.0, 0.0))
+        + _attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
     )
-    version = 2
+    chunks: list[tuple[bytes, bytes]] = []   # (chunk header, payload)
     if tile_size is not None:
         tw, th = int(tile_size[0]), int(tile_size[1])
         if tw <= 0 or th <= 0:
             raise ValueError(f"bad tile size {tile_size}")
-        version |= 0x200
-        header += attr("tiles", "tiledesc", struct.pack("<IIB", tw, th, 0))
-    header += b"\x00"
-
-    chunks: list[tuple[bytes, bytes]] = []   # (chunk header, payload)
-    if tile_size is not None:
+        header += _attr("tiles", "tiledesc", struct.pack("<IIB", tw, th, 0))
         for dy in range(-(-h // th)):
             for dx in range(-(-w // tw)):
                 x0, y0 = dx * tw, dy * th
@@ -460,6 +525,18 @@ def write_exr_py(path: str, channels: dict[str, np.ndarray],
             payload = _compress_block(rows, sub, names, compression,
                                       pixel_type, w)
             chunks.append((struct.pack("<ii", y0, len(payload)), payload))
+    return header, chunks
+
+
+def write_exr_py(path: str, channels: dict[str, np.ndarray],
+                 compression: int = COMP_ZIP, pixel_type: int = PT_FLOAT,
+                 tile_size: tuple[int, int] | None = None) -> None:
+    """Write a single-part EXR — scanline by default, or ONE_LEVEL tiled
+    when ``tile_size=(tile_w, tile_h)`` is given (version flag 0x200 +
+    'tiles' tiledesc attribute; whole-tile compression)."""
+    header, chunks = _prep_part(channels, compression, pixel_type, tile_size)
+    header += b"\x00"
+    version = 2 | (0x200 if tile_size is not None else 0)
     n_chunks = len(chunks)
     offsets = []
     pos = 8 + len(header) + 8 * n_chunks
@@ -473,3 +550,46 @@ def write_exr_py(path: str, channels: dict[str, np.ndarray],
         for chdr, payload in chunks:
             f.write(chdr)
             f.write(payload)
+
+
+def write_exr_multipart_py(
+        path: str, parts: list[tuple[str, dict[str, np.ndarray]]],
+        compression: int = COMP_ZIP, pixel_type: int = PT_FLOAT,
+        tile_size: tuple[int, int] | None = None) -> None:
+    """Write a multi-part EXR (version flag 0x1000): ``parts`` is an
+    ordered list of (part_name, channels) pairs.  Every part carries the
+    mandated name/type/chunkCount attributes; each chunk leads with its
+    part number; the per-part chunk-offset tables are stored back to back
+    in part order.  Part names must be unique (format requirement)."""
+    if len({n for n, _ in parts}) != len(parts):
+        raise ValueError("multi-part EXR part names must be unique")
+    ptype = b"tiledimage" if tile_size is not None else b"scanlineimage"
+    headers: list[bytes] = []
+    part_chunks: list[list[tuple[bytes, bytes]]] = []
+    for part_name, channels in parts:
+        hdr, chunks = _prep_part(channels, compression, pixel_type, tile_size)
+        hdr += (_attr("name", "string", part_name.encode())
+                + _attr("type", "string", ptype)
+                + _attr("chunkCount", "int", struct.pack("<i", len(chunks))))
+        headers.append(hdr + b"\x00")
+        part_chunks.append(chunks)
+    header_block = b"".join(headers) + b"\x00"  # empty header ends the list
+    n_total = sum(len(c) for c in part_chunks)
+    pos = 8 + len(header_block) + 8 * n_total
+    offset_tables: list[list[int]] = []
+    for pi, chunks in enumerate(part_chunks):
+        offsets = []
+        for chdr, payload in chunks:
+            offsets.append(pos)
+            pos += 4 + len(chdr) + len(payload)  # 4: part-number prefix
+        offset_tables.append(offsets)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", MAGIC, 2 | 0x1000))
+        f.write(header_block)
+        for offsets in offset_tables:
+            f.write(struct.pack(f"<{len(offsets)}q", *offsets))
+        for pi, chunks in enumerate(part_chunks):
+            for chdr, payload in chunks:
+                f.write(struct.pack("<i", pi))
+                f.write(chdr)
+                f.write(payload)

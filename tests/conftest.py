@@ -20,6 +20,18 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The env var above is not enough on images where a TPU-tunnel plugin
+# registers itself at interpreter start (sitecustomize) and force-updates
+# the jax_platforms *config* to "axon,cpu" — overriding JAX_PLATFORMS and
+# dialing the (possibly unreachable) tunnel at first backend init, which
+# hangs the whole suite.  Re-pin the config before anything touches a
+# backend; config updates win over the plugin's as long as they land
+# before init.
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:  # older jax spelling; the env var already covers it
+    pass
+
 
 def cpu_devices():
     return jax.devices("cpu")

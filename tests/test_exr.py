@@ -233,16 +233,18 @@ def test_piz_constant_and_extreme_values(tmp_path, rng, backend):
 
 
 def test_unsupported_compression_fails_loudly(tmp_path, rng, backend):
-    """A B44 file must produce the documented error, not garbage
-    (VERDICT r1 weak #5: pin the failure mode for unsupported modes)."""
+    """An unknown-compression file must produce the documented error, not
+    garbage (VERDICT r1 weak #5: pin the failure mode for unsupported
+    modes).  All ten real schemes (0-9) are now implemented, so the probe
+    value is an out-of-range one."""
     chans = {"R": rng.standard_normal((8, 8)).astype(np.float32)}
-    path = str(tmp_path / "b44.exr")
+    path = str(tmp_path / "bad.exr")
     exr_py.write_exr_py(path, chans, compression=COMP_ZIP)
     data = bytearray(open(path, "rb").read())
-    # patch the compression attribute byte to B44 (6)
+    # patch the compression attribute byte to an undefined scheme (10)
     idx = data.index(b"compression\x00compression\x00")
     size_off = idx + len(b"compression\x00compression\x00")
-    data[size_off + 4] = 6
+    data[size_off + 4] = 10
     open(path, "wb").write(bytes(data))
     with pytest.raises((ValueError, IOError), match="[Uu]nsupported"):
         read_exr_channels(path, ["R"])
@@ -468,3 +470,257 @@ def test_dwa_version2_rules_block_skipped(tmp_path, rng):
     out = dwa_decompress(v2, chans, w, h)
     ref = dwa_decompress(payload, chans, w, h)
     np.testing.assert_array_equal(out["R"], ref["R"])
+
+
+# ---------------------------------------------------------------------------
+# B44 / B44A — io/b44.py, implemented from the format spec.  The reference's
+# OpenEXR bindings accept B44 transparently (setdata.py:42); it is the
+# format's fixed-rate lossy mode.  Python codec only; the native codec
+# rejects B44 and the dispatcher falls back.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("comp", [exr_py.COMP_B44, exr_py.COMP_B44A])
+def test_b44_roundtrip_smooth(tmp_path, rng, comp):
+    """On smooth content (the intended regime) the 4x4-block quantizer
+    stays within a few half-ULPs; FLOAT-typed channels are untouched."""
+    h, w = 70, 125                     # non-multiples of the 4x4 block grid
+    chans = _smooth_rgbaz(rng, h, w)
+    del chans["Z"]                     # keep all-HALF for this test
+    path = str(tmp_path / "b.exr")
+    exr_py.write_exr_py(path, chans, compression=comp, pixel_type=PT_HALF)
+    back = exr_py.read_exr_channels_py(path, list(chans))
+    for n in ("R", "G", "B"):
+        ref = chans[n].astype(np.float16).astype(np.float32)
+        assert float(np.abs(back[n] - ref).max()) < 0.01, n
+    # the binary A channel is flat inside most blocks -> roundtrips tightly
+    ref_a = chans["A"].astype(np.float16).astype(np.float32)
+    assert float(np.abs(back["A"] - ref_a).max()) <= 0.5
+
+
+def test_b44_float_channels_verbatim(tmp_path, rng):
+    """Only HALF data is B44-coded; FLOAT channels are stored verbatim
+    (planar), bit-exact."""
+    chans = _smooth_rgbaz(rng, 33, 47)
+    path = str(tmp_path / "bf.exr")
+    exr_py.write_exr_py(path, chans, compression=exr_py.COMP_B44,
+                        pixel_type=PT_FLOAT)
+    back = exr_py.read_exr_channels_py(path, list(chans))
+    for n in chans:
+        np.testing.assert_array_equal(back[n], chans[n])
+
+
+def test_b44_fixed_rate_and_b44a_flat_blocks(tmp_path, rng):
+    """B44 is fixed-rate: 14 bytes per 4x4 block regardless of content.
+    B44A's 3-byte flat blocks make constant planes much smaller."""
+    from pcss_unet_tpu.io.b44 import b44_compress
+    from pcss_unet_tpu.io.exr_py import _Channel
+
+    h, w = 32, 64
+    chans = [_Channel("R", exr_py.PT_HALF)]
+    flat = {"R": np.full((h, w), 0.25, np.float16)}
+    noisy = {"R": rng.standard_normal((h, w)).astype(np.float16)}
+    n_blocks = (h // 4) * (w // 4)
+    for data in (flat, noisy):
+        assert len(b44_compress(data, chans, w, h, flat_ok=False)) \
+            == n_blocks * 14
+    assert len(b44_compress(flat, chans, w, h, flat_ok=True)) == n_blocks * 3
+    # container level: a constant image is far smaller under B44A
+    pa = str(tmp_path / "a.exr")
+    pb = str(tmp_path / "b.exr")
+    exr_py.write_exr_py(pa, {"R": np.full((h, w), 0.25, np.float32)},
+                        compression=exr_py.COMP_B44A, pixel_type=PT_HALF)
+    exr_py.write_exr_py(pb, {"R": np.full((h, w), 0.25, np.float32)},
+                        compression=exr_py.COMP_B44, pixel_type=PT_HALF)
+    assert os.path.getsize(pa) < os.path.getsize(pb)
+    for p in (pa, pb):
+        back = exr_py.read_exr_channels_py(p, ["R"])
+        np.testing.assert_array_equal(back["R"], 0.25)
+
+
+def test_b44_code_domain_error_bound(rng):
+    """B44's contract: reconstruction error is bounded in the transformed
+    integer (code) domain by half the chosen quantization step — even on
+    noise, where the value-domain error is large by design."""
+    from pcss_unet_tpu.io.b44 import (_encode_blocks, _forward_transform,
+                                      _ORDER)
+
+    bits = rng.integers(0, 2**16, (64, 16), dtype=np.uint16)
+    t = _forward_transform(bits)
+    fields = _encode_blocks(t)
+    shift = fields[:, 0]
+    bias = 0x20 << shift
+    recon = t.copy()
+    for k, (tgt, pred) in enumerate(_ORDER):
+        recon[:, tgt] = ((recon[:, pred] + (fields[:, k + 1] << shift)
+                          - bias) & 0xFFFF)
+    err = np.abs(recon - t).max(axis=1)
+    assert (err <= np.maximum(1 << shift >> 1, 1)).all()
+
+
+def test_b44_inf_nan_collapse_to_zero(tmp_path):
+    """Inf/NaN halves collapse to +0 through the order-preserving
+    transform (B44 is lossy by contract for non-finite values)."""
+    h, w = 8, 8
+    a = np.full((h, w), np.nan, np.float32)
+    a[0, 0] = np.inf
+    a[4:, :] = 1.5
+    path = str(tmp_path / "n.exr")
+    exr_py.write_exr_py(path, {"R": a}, compression=exr_py.COMP_B44,
+                        pixel_type=PT_HALF)
+    back = exr_py.read_exr_channels_py(path, ["R"])["R"]
+    assert np.array_equal(back[:4], np.zeros((4, w), np.float32))
+    np.testing.assert_allclose(back[4:], 1.5, atol=0.01)
+
+
+def test_b44_tiled(tmp_path, rng):
+    """Whole-tile B44 through the ONE_LEVEL tiled container."""
+    chans = _smooth_rgbaz(rng, 40, 56)
+    path = str(tmp_path / "bt.exr")
+    exr_py.write_exr_py(path, chans, compression=exr_py.COMP_B44A,
+                        pixel_type=PT_HALF, tile_size=(16, 16))
+    back = exr_py.read_exr_channels_py(path, list(chans))
+    for n in ("R", "G", "B"):
+        ref = chans[n].astype(np.float16).astype(np.float32)
+        assert float(np.abs(back[n] - ref).max()) < 0.01, n
+
+
+def test_b44_dispatcher_falls_back_to_python(tmp_path, rng, monkeypatch):
+    """With the native backend preferred (default), a B44 file must still
+    read — the native codec rejects it and the dispatcher retries with the
+    Python codec (io/exr.py:139-153)."""
+    monkeypatch.delenv("PCSS_EXR_BACKEND", raising=False)
+    chans = {"R": rng.random((24, 24)).astype(np.float32),
+             "G": rng.random((24, 24)).astype(np.float32),
+             "B": rng.random((24, 24)).astype(np.float32)}
+    path = str(tmp_path / "fb44.exr")
+    exr_py.write_exr_py(path, chans, compression=exr_py.COMP_B44,
+                        pixel_type=PT_HALF)
+    stack = read_exr_stack(path)
+    assert stack.shape == (24, 24, 4)
+
+
+def test_b44_mixed_pixel_types_in_one_chunk(rng):
+    """A chlist mixing HALF (block-coded) and FLOAT/UINT (verbatim planar)
+    channels decodes each stream from its correct offset."""
+    from pcss_unet_tpu.io.b44 import b44_compress, b44_decompress
+    from pcss_unet_tpu.io.exr_py import _Channel
+
+    h, w = 12, 20
+    chans = [_Channel("A", exr_py.PT_HALF),
+             _Channel("B", exr_py.PT_FLOAT),
+             _Channel("C", exr_py.PT_HALF)]
+    arrs = {"A": np.linspace(0, 1, h * w, dtype=np.float16).reshape(h, w),
+            "B": rng.standard_normal((h, w)).astype(np.float32),
+            "C": np.full((h, w), 3.0, np.float16)}
+    payload = b44_compress(arrs, chans, w, h, flat_ok=True)
+    out = b44_decompress(payload, chans, w, h)
+    np.testing.assert_array_equal(out["B"], arrs["B"])
+    np.testing.assert_array_equal(out["C"], 3.0)
+    # the ramp crosses half-exponent boundaries, so some blocks carry large
+    # code-domain deltas — quality here is coarser than the smooth case
+    assert float(np.abs(out["A"] - arrs["A"].astype(np.float32)).max()) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Multi-part files (version flag 0x1000) — the reference's OpenEXR bindings
+# open these and expose part 0 transparently (setdata.py:42); renderers use
+# multi-part for AOV separation.  Python codec only; the native codec
+# rejects multi-part loudly and the dispatcher falls back.
+# ---------------------------------------------------------------------------
+
+
+def _three_parts(rng, h=21, w=34):
+    return [
+        ("beauty", {"R": rng.random((h, w)).astype(np.float32),
+                    "G": rng.random((h, w)).astype(np.float32),
+                    "B": rng.random((h, w)).astype(np.float32)}),
+        ("depth", {"Z": (10 * rng.random((h, w))).astype(np.float32)}),
+        ("normals", {"X": rng.standard_normal((h, w)).astype(np.float32),
+                     "Y": rng.standard_normal((h, w)).astype(np.float32)}),
+    ]
+
+
+@pytest.mark.parametrize("comp", [COMP_NONE, COMP_ZIP, exr_py.COMP_PIZ])
+def test_multipart_roundtrip_by_index_and_name(tmp_path, rng, comp):
+    parts = _three_parts(rng)
+    path = str(tmp_path / "mp.exr")
+    exr_py.write_exr_multipart_py(path, parts, compression=comp)
+    for idx, (pname, chans) in enumerate(parts):
+        by_idx = exr_py.read_exr_channels_py(path, list(chans), part=idx)
+        by_name = exr_py.read_exr_channels_py(path, list(chans), part=pname)
+        for n, ref in chans.items():
+            np.testing.assert_array_equal(by_idx[n], ref)
+            np.testing.assert_array_equal(by_name[n], ref)
+
+
+def test_multipart_defaults_to_part0(tmp_path, rng):
+    """Matches what the reference's OpenEXR.InputFile exposes on a
+    multi-part file: the first part's channels; other parts' channels
+    read as absent (None)."""
+    parts = _three_parts(rng)
+    path = str(tmp_path / "mp0.exr")
+    exr_py.write_exr_multipart_py(path, parts)
+    out = exr_py.read_exr_channels_py(path, ["R", "Z"])
+    np.testing.assert_array_equal(out["R"], parts[0][1]["R"])
+    assert out["Z"] is None
+
+
+def test_multipart_dispatcher_falls_back(tmp_path, rng, monkeypatch):
+    """With the native backend preferred, a multi-part file must still
+    read through the dispatcher (native rejects 0x1000, python decodes)."""
+    monkeypatch.delenv("PCSS_EXR_BACKEND", raising=False)
+    parts = _three_parts(rng)
+    path = str(tmp_path / "mpd.exr")
+    exr_py.write_exr_multipart_py(path, parts)
+    stack = read_exr_stack(path)   # part 0 = beauty; A synthesized as ones
+    assert stack.shape == (21, 34, 4)
+    np.testing.assert_array_equal(stack[..., 0], parts[0][1]["R"])
+    np.testing.assert_array_equal(stack[..., 3], 1.0)
+    # part selection through the public dispatcher routes to the python codec
+    out = read_exr_channels(path, ["Z"], part="depth")
+    np.testing.assert_array_equal(out["Z"], parts[1][1]["Z"])
+
+
+def test_multipart_tiled(tmp_path, rng):
+    parts = _three_parts(rng, h=40, w=56)
+    path = str(tmp_path / "mpt.exr")
+    exr_py.write_exr_multipart_py(path, parts, tile_size=(16, 16))
+    for idx, (_, chans) in enumerate(parts):
+        out = exr_py.read_exr_channels_py(path, list(chans), part=idx)
+        for n, ref in chans.items():
+            np.testing.assert_array_equal(out[n], ref)
+
+
+def test_multipart_part_selection_errors(tmp_path, rng):
+    parts = _three_parts(rng)
+    path = str(tmp_path / "mpe.exr")
+    exr_py.write_exr_multipart_py(path, parts)
+    with pytest.raises(ValueError, match="no part named"):
+        exr_py.read_exr_channels_py(path, ["R"], part="nope")
+    with pytest.raises(ValueError, match="out of range"):
+        exr_py.read_exr_channels_py(path, ["R"], part=3)
+    with pytest.raises(ValueError, match="unique"):
+        exr_py.write_exr_multipart_py(
+            str(tmp_path / "dup.exr"),
+            [("a", parts[0][1]), ("a", parts[1][1])])
+
+
+def test_multipart_deep_part_rejected(tmp_path, rng):
+    """A deep part must fail loudly when selected, not decode garbage."""
+    import struct as _struct
+
+    parts = _three_parts(rng)
+    path = str(tmp_path / "mpdeep.exr")
+    exr_py.write_exr_multipart_py(path, parts)
+    data = bytearray(open(path, "rb").read())
+    old = b"type\x00string\x00" + _struct.pack("<i", 13) + b"scanlineimage"
+    new = b"type\x00string\x00" + _struct.pack("<i", 13) + b"deepscanline\x00"
+    idx = data.index(old, data.index(old) + 1)  # patch part 1's type
+    data[idx:idx + len(old)] = new
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="deep"):
+        exr_py.read_exr_channels_py(path, ["Z"], part=1)
+    # part 0 is untouched and still reads
+    out = exr_py.read_exr_channels_py(path, ["R"], part=0)
+    np.testing.assert_array_equal(out["R"], parts[0][1]["R"])
