@@ -4,7 +4,9 @@
 // C++ bindings (reference setdata.py:42-58); this is the framework's own
 // native decoder/encoder covering the subset the pipeline uses:
 //   - single-part scanline files, version 2
-//   - single-part ONE_LEVEL tiled files (mipmap/ripmap rejected loudly)
+//   - single-part tiled files, all level modes (ONE_LEVEL decoded in full;
+//     MIPMAP/RIPMAP decode the full-resolution level 0, skipping the
+//     low-res pyramid levels — the plane OpenEXR bindings expose)
 //   - compression NONE(0), RLE(1), ZIPS(2), ZIP(3), PIZ(4), PXR24(5)
 //   - pixel types UINT(0), HALF(1), FLOAT(2)
 //   - INCREASING_Y line order
@@ -104,6 +106,7 @@ struct Reader {
   int lines_per_chunk = 1;
   bool tiled = false;
   int tile_w = 0, tile_h = 0;
+  int level_mode = 0, level_rounding = 0;
   std::vector<int64_t> chunk_offsets;
   std::string error;
 
@@ -174,8 +177,10 @@ struct Reader {
         std::memcpy(&tw, payload, 4);
         std::memcpy(&th, payload + 4, 4);
         uint8_t mode = payload[8];
-        if ((mode & 0xF) != 0)
-          return fail("mipmap/ripmap tiled EXR not supported (ONE_LEVEL only)");
+        level_mode = mode & 0xF;
+        level_rounding = (mode >> 4) & 0xF;
+        if (level_mode > 2)
+          return fail("bad tiledesc level mode (0/1/2 expected)");
         tile_w = (int)tw;
         tile_h = (int)th;
         have_tiles = true;
@@ -199,8 +204,39 @@ struct Reader {
     if (tiled) {
       if (!have_tiles) return fail("tiled EXR missing 'tiles' attribute");
       if (tile_w <= 0 || tile_h <= 0) return fail("bad tile size");
-      n_chunks = ((width + tile_w - 1) / tile_w) *
-                 ((height + tile_h - 1) / tile_h);
+      // total chunks across every pyramid level = offset-table length
+      auto round_log2 = [](int x, int up) {
+        int l = 0;
+        for (int64_t v = 1; v < x; v <<= 1) ++l;      // ceil(log2(x))
+        if (!up && l > 0 && (1ll << l) > x) --l;      // floor for ROUND_DOWN
+        return l;
+      };
+      auto level_size = [](int s, int l, int up) {
+        int64_t d = 1ll << l;
+        int64_t r = up ? (s + d - 1) / d : s / d;
+        return (int)std::max<int64_t>(1, r);
+      };
+      auto tiles_in = [&](int s, int t) { return (s + t - 1) / t; };
+      int64_t total = 0;
+      if (level_mode == 0) {
+        total = (int64_t)tiles_in(width, tile_w) * tiles_in(height, tile_h);
+      } else if (level_mode == 1) {  // MIPMAP_LEVELS: lx == ly
+        int n = round_log2(std::max(width, height), level_rounding) + 1;
+        for (int l = 0; l < n; ++l)
+          total += (int64_t)tiles_in(level_size(width, l, level_rounding),
+                                     tile_w) *
+                   tiles_in(level_size(height, l, level_rounding), tile_h);
+      } else {  // RIPMAP_LEVELS: full (lx, ly) grid
+        int nx = round_log2(width, level_rounding) + 1;
+        int ny = round_log2(height, level_rounding) + 1;
+        for (int ly = 0; ly < ny; ++ly)
+          for (int lx = 0; lx < nx; ++lx)
+            total += (int64_t)tiles_in(level_size(width, lx, level_rounding),
+                                       tile_w) *
+                     tiles_in(level_size(height, ly, level_rounding), tile_h);
+      }
+      if (total > (int64_t)1 << 30) return fail("tile count overflow");
+      n_chunks = (int)total;
     } else {
       n_chunks = (height + lines_per_chunk - 1) / lines_per_chunk;
     }
@@ -399,11 +435,14 @@ struct Reader {
         std::memcpy(&lx, data + off + 8, 4);
         std::memcpy(&ly, data + off + 12, 4);
         std::memcpy(&csize, data + off + 16, 4);
-        if (lx || ly) {
-          error = "unexpected tile level in ONE_LEVEL file"; return -1;
-        }
         if (csize < 0 || (size_t)off + 20 + (size_t)csize > size) {
           error = "bad tile size"; return -1;
+        }
+        if (lx || ly) {
+          if (level_mode == 0) {
+            error = "unexpected tile level in ONE_LEVEL file"; return -1;
+          }
+          continue;  // full-res level 0 only; pyramid levels skipped
         }
         int x0 = dx * tile_w, y0 = dy * tile_h;
         if (dx < 0 || dy < 0 || x0 >= width || y0 >= height) {

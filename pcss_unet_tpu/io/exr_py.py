@@ -7,9 +7,12 @@ plus a faster native C++ twin (``native/exr/exr_codec.cpp``, wrapped by
 ``pcss_unet_tpu.io.exr``).  Both implement the subset the pipeline needs:
 
 - single-part scanline files, version 2
-- single-part TILED files, ONE_LEVEL (level-0 only; mipmap/ripmap rejected
-  loudly) — tiled is a common renderer output mode the reference's OpenEXR
-  bindings read transparently (setdata.py:42)
+- single-part TILED files, all three level modes: ONE_LEVEL, and
+  MIPMAP_LEVELS / RIPMAP_LEVELS (both rounding modes) where the full-
+  resolution level (0,0) is decoded and the low-res pyramid levels are
+  skipped — exactly the plane the reference's OpenEXR bindings expose when
+  reading such files as images (setdata.py:42); the writer can also emit
+  mip/rip pyramids (point-sampled levels) via ``level_mode=``
 - MULTI-PART files (version flag 0x1000, pixel parts only — deep parts
   rejected loudly): readers default to part 0, matching what the
   reference's ``OpenEXR.InputFile`` exposes on a multi-part file, with
@@ -169,6 +172,41 @@ def _rle_compress(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _round_log2(x: int, rounding: int) -> int:
+    """floor(log2(x)) under ROUND_DOWN (0) or ceil(log2(x)) under ROUND_UP
+    (1) — the tiledesc rounding mode's definition of the level count."""
+    return (x - 1).bit_length() if rounding else x.bit_length() - 1
+
+
+def _level_size(size: int, level: int, rounding: int) -> int:
+    """Pixel extent of pyramid level ``level`` along one axis."""
+    d = 1 << level
+    s = -(-size // d) if rounding else size // d
+    return max(1, s)
+
+
+def _tile_levels(w: int, h: int, level_mode: int,
+                 rounding: int) -> list[tuple[int, int]]:
+    """All (levelX, levelY) pairs a tiled file stores, in canonical order
+    (level 0,0 — the full-resolution plane — first)."""
+    if level_mode == 0:                       # ONE_LEVEL
+        return [(0, 0)]
+    if level_mode == 1:                       # MIPMAP_LEVELS: lx == ly
+        n = _round_log2(max(w, h), rounding) + 1
+        return [(l, l) for l in range(n)]
+    nx = _round_log2(w, rounding) + 1         # RIPMAP_LEVELS: full grid
+    ny = _round_log2(h, rounding) + 1
+    return [(lx, ly) for ly in range(ny) for lx in range(nx)]
+
+
+def _tiled_chunk_count(w: int, h: int, tw: int, th: int, level_mode: int,
+                       rounding: int) -> int:
+    """Total tile chunks across every level — the offset-table length."""
+    return sum((-(-_level_size(w, lx, rounding) // tw))
+               * (-(-_level_size(h, ly, rounding) // th))
+               for lx, ly in _tile_levels(w, h, level_mode, rounding))
+
+
 @dataclass
 class _Channel:
     name: str
@@ -309,12 +347,17 @@ class ExrFile:
             if "tiles" not in self.attrs:
                 raise ValueError("tiled EXR missing 'tiles' attribute")
             tw, th, mode = struct.unpack_from("<IIB", self.attrs["tiles"][1])
-            if mode & 0xF != 0:
+            self.level_mode = mode & 0xF
+            self.level_rounding = (mode >> 4) & 0xF
+            if self.level_mode > 2:
                 raise ValueError(
-                    "mipmap/ripmap tiled EXR not supported (ONE_LEVEL only)")
+                    f"bad tiledesc level mode {self.level_mode} "
+                    "(0=ONE_LEVEL, 1=MIPMAP, 2=RIPMAP)")
             self.tile_w, self.tile_h = int(tw), int(th)
-            n_chunks = ((-(-self.width // self.tile_w))
-                        * (-(-self.height // self.tile_h)))
+            n_chunks = _tiled_chunk_count(self.width, self.height,
+                                          self.tile_w, self.tile_h,
+                                          self.level_mode,
+                                          self.level_rounding)
             lpc = self.tile_h
         else:
             lpc = _LINES_PER_CHUNK[self.compression]
@@ -395,8 +438,10 @@ class ExrFile:
                 # tile chunk: dx, dy, levelX, levelY, dataSize, payload
                 dx, dy, lx, ly, size = struct.unpack_from("<5i", data, off)
                 if lx or ly:
-                    raise ValueError(
-                        f"unexpected tile level ({lx},{ly}) in ONE_LEVEL file")
+                    if self.level_mode == 0:
+                        raise ValueError(f"unexpected tile level ({lx},{ly}) "
+                                         "in ONE_LEVEL file")
+                    continue  # full-res plane only; pyramid levels skipped
                 payload = data[off + 20: off + 20 + size]
                 x0, y0 = dx * self.tile_w, dy * self.tile_h
                 tw = min(self.tile_w, self.width - x0)
@@ -466,7 +511,8 @@ def _attr(name: str, atype: str, payload: bytes) -> bytes:
 
 
 def _prep_part(channels: dict[str, np.ndarray], compression: int,
-               pixel_type: int, tile_size: tuple[int, int] | None):
+               pixel_type: int, tile_size: tuple[int, int] | None,
+               level_mode: int = 0, rounding: int = 0):
     """Validate + cast one part's channels, build its header attribute
     block (sans the part-specific name/type/chunkCount attrs and the
     terminating null) and its chunk list.
@@ -500,19 +546,31 @@ def _prep_part(channels: dict[str, np.ndarray], compression: int,
         tw, th = int(tile_size[0]), int(tile_size[1])
         if tw <= 0 or th <= 0:
             raise ValueError(f"bad tile size {tile_size}")
-        header += _attr("tiles", "tiledesc", struct.pack("<IIB", tw, th, 0))
-        for dy in range(-(-h // th)):
-            for dx in range(-(-w // tw)):
-                x0, y0 = dx * tw, dy * th
-                bw, bh = min(tw, w - x0), min(th, h - y0)
-                sub = [a[y0:y0 + bh, x0:x0 + bw] for a in arrs]
-                rows = b"".join(sub[k][line].tobytes()
-                                for line in range(bh)
-                                for k in range(len(sub)))
-                payload = _compress_block(rows, sub, names, compression,
-                                          pixel_type, bw)
-                chunks.append((struct.pack("<5i", dx, dy, 0, 0,
-                                           len(payload)), payload))
+        if not 0 <= level_mode <= 2:
+            raise ValueError(f"bad level mode {level_mode}")
+        header += _attr("tiles", "tiledesc",
+                        struct.pack("<IIB", tw, th,
+                                    level_mode | ((rounding & 1) << 4)))
+        for lx, ly in _tile_levels(w, h, level_mode, rounding):
+            lw = _level_size(w, lx, rounding)
+            lh = _level_size(h, ly, rounding)
+            # pyramid levels are point-sampled (the format stores whatever
+            # the writing application provides; decoders here use level 0)
+            lvl = [np.ascontiguousarray(a[::1 << ly, ::1 << lx][:lh, :lw])
+                   for a in arrs]
+            for dy in range(-(-lh // th)):
+                for dx in range(-(-lw // tw)):
+                    x0, y0 = dx * tw, dy * th
+                    bw, bh = min(tw, lw - x0), min(th, lh - y0)
+                    sub = [np.ascontiguousarray(a[y0:y0 + bh, x0:x0 + bw])
+                           for a in lvl]
+                    rows = b"".join(sub[k][line].tobytes()
+                                    for line in range(bh)
+                                    for k in range(len(sub)))
+                    payload = _compress_block(rows, sub, names, compression,
+                                              pixel_type, bw)
+                    chunks.append((struct.pack("<5i", dx, dy, lx, ly,
+                                               len(payload)), payload))
     else:
         lpc = _LINES_PER_CHUNK[compression]
         for ci in range((h + lpc - 1) // lpc):
@@ -530,11 +588,15 @@ def _prep_part(channels: dict[str, np.ndarray], compression: int,
 
 def write_exr_py(path: str, channels: dict[str, np.ndarray],
                  compression: int = COMP_ZIP, pixel_type: int = PT_FLOAT,
-                 tile_size: tuple[int, int] | None = None) -> None:
-    """Write a single-part EXR — scanline by default, or ONE_LEVEL tiled
-    when ``tile_size=(tile_w, tile_h)`` is given (version flag 0x200 +
-    'tiles' tiledesc attribute; whole-tile compression)."""
-    header, chunks = _prep_part(channels, compression, pixel_type, tile_size)
+                 tile_size: tuple[int, int] | None = None,
+                 level_mode: int = 0, rounding: int = 0) -> None:
+    """Write a single-part EXR — scanline by default, or tiled when
+    ``tile_size=(tile_w, tile_h)`` is given (version flag 0x200 + 'tiles'
+    tiledesc attribute; whole-tile compression).  ``level_mode`` selects
+    ONE_LEVEL (0, default), MIPMAP_LEVELS (1) or RIPMAP_LEVELS (2) with
+    ``rounding`` 0=down/1=up; pyramid levels are point-sampled."""
+    header, chunks = _prep_part(channels, compression, pixel_type, tile_size,
+                                level_mode=level_mode, rounding=rounding)
     header += b"\x00"
     version = 2 | (0x200 if tile_size is not None else 0)
     n_chunks = len(chunks)

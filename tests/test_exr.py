@@ -329,8 +329,48 @@ def test_tiled_read_exr_contract(tmp_path, rng, backend):
     np.testing.assert_array_equal(a, np.ones((h, w), np.float32))
 
 
-def test_mipmap_rejected_loudly(tmp_path, rng, backend):
-    """Mipmap/ripmap level modes must fail with the documented error."""
+@pytest.mark.parametrize("level_mode", [1, 2])
+@pytest.mark.parametrize("rounding", [0, 1])
+def test_mipmap_ripmap_level0_decode(tmp_path, rng, backend, level_mode,
+                                     rounding):
+    """MIPMAP/RIPMAP files (both rounding modes) decode their full-
+    resolution level exactly — the plane the reference's OpenEXR bindings
+    expose when reading a pyramid file as an image (setdata.py:42).
+    Non-power-of-two extents exercise partial levels and edge tiles."""
+    h, w = 37, 53
+    chans = {n: rng.standard_normal((h, w)).astype(np.float32)
+             for n in ("R", "G", "B")}
+    path = str(tmp_path / "m.exr")
+    exr_py.write_exr_py(path, chans, compression=COMP_ZIP, tile_size=(16, 16),
+                        level_mode=level_mode, rounding=rounding)
+    out = read_exr_channels(path, ["R", "G", "B"])
+    for n in chans:
+        np.testing.assert_array_equal(out[n], chans[n])
+
+
+def test_mipmap_cross_codec_and_pyramid_chunks(tmp_path, rng):
+    """Both codecs agree on a mipmapped file, and the file genuinely
+    carries a pyramid (more chunks than its ONE_LEVEL twin)."""
+    if _load_native() is None:
+        pytest.skip("native EXR codec unavailable")
+    from pcss_unet_tpu.io.exr import _read_channels_native
+
+    chans = {"R": rng.standard_normal((64, 48)).astype(np.float32)}
+    p_mip = str(tmp_path / "mip.exr")
+    p_one = str(tmp_path / "one.exr")
+    exr_py.write_exr_py(p_mip, chans, tile_size=(16, 16), level_mode=1)
+    exr_py.write_exr_py(p_one, chans, tile_size=(16, 16))
+    assert os.path.getsize(p_mip) > os.path.getsize(p_one)
+    f = exr_py.ExrFile(open(p_mip, "rb").read())
+    assert f.level_mode == 1 and len(f._chunk_offsets) > 12  # 4x3 at level 0
+    np.testing.assert_array_equal(
+        _read_channels_native(p_mip, ["R"])["R"], chans["R"])
+    np.testing.assert_array_equal(
+        exr_py.read_exr_channels_py(p_mip, ["R"])["R"], chans["R"])
+
+
+def test_bad_level_mode_rejected(tmp_path, rng, backend):
+    """Level modes beyond RIPMAP (2) must fail loudly, not misparse."""
     chans = {"R": rng.standard_normal((16, 16)).astype(np.float32)}
     path = str(tmp_path / "m.exr")
     exr_py.write_exr_py(path, chans, compression=COMP_NONE,
@@ -338,9 +378,9 @@ def test_mipmap_rejected_loudly(tmp_path, rng, backend):
     data = bytearray(open(path, "rb").read())
     idx = data.index(b"tiles\x00tiledesc\x00")
     mode_off = idx + len(b"tiles\x00tiledesc\x00") + 4 + 8
-    data[mode_off] = 1  # MIPMAP_LEVELS
+    data[mode_off] = 3  # not a level mode
     open(path, "wb").write(bytes(data))
-    with pytest.raises((ValueError, IOError), match="mipmap"):
+    with pytest.raises((ValueError, IOError), match="level mode"):
         read_exr_channels(path, ["R"])
 
 
