@@ -7,7 +7,9 @@
 //   - single-part tiled files, all level modes (ONE_LEVEL decoded in full;
 //     MIPMAP/RIPMAP decode the full-resolution level 0, skipping the
 //     low-res pyramid levels — the plane OpenEXR bindings expose)
-//   - compression NONE(0), RLE(1), ZIPS(2), ZIP(3), PIZ(4), PXR24(5)
+//   - compression NONE(0), RLE(1), ZIPS(2), ZIP(3), PIZ(4), PXR24(5);
+//     B44(6)/B44A(7) decode-only (encode + DWAA/DWAB live in the Python
+//     twin; the dispatcher falls back)
 //   - pixel types UINT(0), HALF(1), FLOAT(2)
 //   - INCREASING_Y line order
 // Exposed as a C ABI consumed via ctypes (pcss_unet_tpu/io/exr.py).  The
@@ -32,7 +34,7 @@ namespace {
 constexpr int32_t kMagic = 20000630;
 constexpr int PT_UINT = 0, PT_HALF = 1, PT_FLOAT = 2;
 constexpr int COMP_NONE = 0, COMP_RLE = 1, COMP_ZIPS = 2, COMP_ZIP = 3,
-              COMP_PIZ = 4, COMP_PXR24 = 5;
+              COMP_PIZ = 4, COMP_PXR24 = 5, COMP_B44 = 6, COMP_B44A = 7;
 
 struct Channel {
   std::string name;
@@ -191,12 +193,13 @@ struct Reader {
       return fail("missing required header attribute");
     if (compression == COMP_ZIP || compression == COMP_PXR24)
       lines_per_chunk = 16;
-    else if (compression == COMP_PIZ)
+    else if (compression == COMP_PIZ || compression == COMP_B44 ||
+             compression == COMP_B44A)
       lines_per_chunk = 32;
     else if (compression == COMP_NONE || compression == COMP_RLE ||
              compression == COMP_ZIPS) lines_per_chunk = 1;
     else return fail("unsupported compression (supported: NONE, RLE, ZIPS, "
-                     "ZIP, PIZ, PXR24; not supported: B44/B44A/DWAA/DWAB)");
+                     "ZIP, PIZ, PXR24, B44, B44A; not supported: DWAA/DWAB)");
     width = xmax - xmin + 1;
     height = ymax - ymin + 1;
     if (width <= 0 || height <= 0) return fail("empty data window");
@@ -354,6 +357,99 @@ struct Reader {
     return true;
   }
 
+  // B44/B44A block decode (mirrors io/b44.py, itself implemented from the
+  // OpenEXR format spec): channels stored planar; HALF planes as row-major
+  // 4x4 pixel blocks — 14 bytes each (16-bit base + sixteen 6-bit fields:
+  // shift then 15 chained deltas), or 3 bytes for a flat block (third byte
+  // 0xFC).  FLOAT/UINT planes are verbatim.  Half values live in an
+  // order-preserving integer domain (negatives bit-inverted, positives
+  // offset by 0x8000).
+  std::vector<uint16_t> b44_plane_;
+  bool b44_block(const uint8_t* payload, int csize, int bw, int bh,
+                 int x0, int y0, int target, float* dst) {
+    static const int kOrder[15][2] = {
+        {4, 0}, {8, 4}, {12, 8},
+        {1, 0}, {5, 4}, {9, 8}, {13, 12},
+        {2, 1}, {6, 5}, {10, 9}, {14, 13},
+        {3, 2}, {7, 6}, {11, 10}, {15, 14}};
+    const uint8_t* p = payload;
+    const uint8_t* end = payload + csize;
+    for (size_t k = 0; k < channels.size(); ++k) {
+      int cpt = channels[k].pixel_type;
+      bool want = (int)k == target;
+      if (cpt != PT_HALF) {  // FLOAT/UINT stored verbatim, planar
+        size_t nbytes = (size_t)bw * bh * pixel_size(cpt);
+        if (p + nbytes > end) { error = "truncated B44 chunk"; return false; }
+        if (want) {
+          for (int line = 0; line < bh; ++line) {
+            const uint8_t* src = p + (size_t)line * bw * pixel_size(cpt);
+            float* row = dst + (size_t)(y0 + line) * width + x0;
+            if (cpt == PT_FLOAT) {
+              std::memcpy(row, src, (size_t)bw * 4);
+            } else {
+              for (int x = 0; x < bw; ++x) {
+                uint32_t v;
+                std::memcpy(&v, src + (size_t)x * 4, 4);
+                row[x] = (float)v;
+              }
+            }
+          }
+        }
+        p += nbytes;
+        continue;
+      }
+      int hb = (bh + 3) / 4, wb = (bw + 3) / 4;
+      int pw = wb * 4;
+      if (want) b44_plane_.resize((size_t)hb * 4 * pw);
+      for (int by = 0; by < hb; ++by) {
+        for (int bx = 0; bx < wb; ++bx) {
+          if (p + 3 > end) { error = "truncated B44 chunk"; return false; }
+          uint16_t t[16];
+          uint16_t base = ((uint16_t)p[0] << 8) | p[1];
+          if (p[2] == 0xFC) {  // flat block (B44A form; legal in both)
+            for (int i = 0; i < 16; ++i) t[i] = base;
+            p += 3;
+          } else {
+            if (p + 14 > end) { error = "truncated B44 chunk"; return false; }
+            int fields[16];
+            for (int g = 0; g < 4; ++g) {  // 6-bit fields, MSB-first
+              const uint8_t* q = p + 2 + g * 3;
+              fields[g * 4 + 0] = q[0] >> 2;
+              fields[g * 4 + 1] = ((q[0] & 0x3) << 4) | (q[1] >> 4);
+              fields[g * 4 + 2] = ((q[1] & 0xF) << 2) | (q[2] >> 6);
+              fields[g * 4 + 3] = q[2] & 0x3F;
+            }
+            int shift = fields[0];
+            int bias = 0x20 << shift;
+            t[0] = base;
+            for (int i = 0; i < 15; ++i)
+              t[kOrder[i][0]] = (uint16_t)(((int)t[kOrder[i][1]] +
+                                            (fields[i + 1] << shift) - bias) &
+                                           0xFFFF);
+            p += 14;
+          }
+          if (want) {
+            for (int iy = 0; iy < 4; ++iy)
+              for (int ix = 0; ix < 4; ++ix) {
+                uint16_t v = t[iy * 4 + ix];
+                uint16_t h = (v & 0x8000) ? (uint16_t)(v & 0x7FFF)
+                                          : (uint16_t)(~v & 0xFFFF);
+                b44_plane_[(size_t)(by * 4 + iy) * pw + bx * 4 + ix] = h;
+              }
+          }
+        }
+      }
+      if (want) {
+        for (int line = 0; line < bh; ++line) {
+          float* row = dst + (size_t)(y0 + line) * width + x0;
+          const uint16_t* src = b44_plane_.data() + (size_t)line * pw;
+          for (int x = 0; x < bw; ++x) row[x] = half_to_float(src[x]);
+        }
+      }
+    }
+    return true;
+  }
+
   // Decode one compressed block (scanline chunk or tile): bw x bh pixels at
   // (x0, y0) in the data window; scatter the target channel into dst.
   bool decode_block(const uint8_t* payload, int csize, int bw, int bh,
@@ -371,6 +467,8 @@ struct Reader {
     const uint8_t* lines_ptr;
     if (compression == COMP_NONE || (size_t)csize >= raw_size) {
       lines_ptr = payload;  // stored raw (incompressible block)
+    } else if (compression == COMP_B44 || compression == COMP_B44A) {
+      return b44_block(payload, csize, bw, bh, x0, y0, target, dst);
     } else if (compression == COMP_PIZ) {
       std::vector<piz::ChanDesc> cds(channels.size());
       for (size_t k = 0; k < channels.size(); ++k)

@@ -625,10 +625,10 @@ def test_b44_tiled(tmp_path, rng):
         assert float(np.abs(back[n] - ref).max()) < 0.01, n
 
 
-def test_b44_dispatcher_falls_back_to_python(tmp_path, rng, monkeypatch):
-    """With the native backend preferred (default), a B44 file must still
-    read — the native codec rejects it and the dispatcher retries with the
-    Python codec (io/exr.py:139-153)."""
+def test_b44_dispatcher_reads_with_default_backend(tmp_path, rng, monkeypatch):
+    """With the native backend preferred (default), a B44 file reads —
+    natively when the codec is available (decode is implemented in C++),
+    via the Python fallback otherwise (io/exr.py:139-153)."""
     monkeypatch.delenv("PCSS_EXR_BACKEND", raising=False)
     chans = {"R": rng.random((24, 24)).astype(np.float32),
              "G": rng.random((24, 24)).astype(np.float32),
@@ -638,6 +638,30 @@ def test_b44_dispatcher_falls_back_to_python(tmp_path, rng, monkeypatch):
                         pixel_type=PT_HALF)
     stack = read_exr_stack(path)
     assert stack.shape == (24, 24, 4)
+
+
+@pytest.mark.parametrize("comp", [exr_py.COMP_B44, exr_py.COMP_B44A])
+def test_b44_native_decode_matches_python(tmp_path, rng, comp):
+    """The native codec's B44 decoder reproduces the Python decoder
+    bit-exactly: scanline + tiled containers, HALF (block-coded, incl.
+    flat B44A blocks), FLOAT (verbatim planar), partial edge blocks."""
+    if _load_native() is None:
+        pytest.skip("native EXR codec unavailable")
+    from pcss_unet_tpu.io.exr import _read_channels_native
+
+    yy, xx = np.mgrid[0:45, 0:61].astype(np.float32)
+    chans = {"R": 0.5 + 0.4 * np.sin(xx / 9) * np.cos(yy / 7),
+             "G": (rng.random((45, 61)) > 0.5).astype(np.float32),
+             "Z": rng.standard_normal((45, 61)).astype(np.float32)}
+    for kw in ({}, {"tile_size": (16, 16)}):
+        for pt in (PT_HALF, exr_py.PT_FLOAT):
+            path = str(tmp_path / "x.exr")
+            exr_py.write_exr_py(path, chans, compression=comp,
+                                pixel_type=pt, **kw)
+            py = exr_py.read_exr_channels_py(path, ["R", "G", "Z"])
+            nat = _read_channels_native(path, ["R", "G", "Z"])
+            for n in chans:
+                np.testing.assert_array_equal(nat[n], py[n])
 
 
 def test_b44_mixed_pixel_types_in_one_chunk(rng):
