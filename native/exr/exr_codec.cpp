@@ -8,8 +8,8 @@
 //     MIPMAP/RIPMAP decode the full-resolution level 0, skipping the
 //     low-res pyramid levels — the plane OpenEXR bindings expose)
 //   - compression NONE(0), RLE(1), ZIPS(2), ZIP(3), PIZ(4), PXR24(5);
-//     B44(6)/B44A(7) decode-only (encode + DWAA/DWAB live in the Python
-//     twin; the dispatcher falls back)
+//     B44(6)/B44A(7)/DWAA(8)/DWAB(9) decode-only (their encoders live in
+//     the Python twin; the dispatcher falls back for writes)
 //   - pixel types UINT(0), HALF(1), FLOAT(2)
 //   - INCREASING_Y line order
 // Exposed as a C ABI consumed via ctypes (pcss_unet_tpu/io/exr.py).  The
@@ -28,13 +28,16 @@
 #include <zlib.h>
 
 #include "piz.h"
+#include "dwa.h"
+#include <unordered_map>
 
 namespace {
 
 constexpr int32_t kMagic = 20000630;
 constexpr int PT_UINT = 0, PT_HALF = 1, PT_FLOAT = 2;
 constexpr int COMP_NONE = 0, COMP_RLE = 1, COMP_ZIPS = 2, COMP_ZIP = 3,
-              COMP_PIZ = 4, COMP_PXR24 = 5, COMP_B44 = 6, COMP_B44A = 7;
+              COMP_PIZ = 4, COMP_PXR24 = 5, COMP_B44 = 6, COMP_B44A = 7,
+              COMP_DWAA = 8, COMP_DWAB = 9;
 
 struct Channel {
   std::string name;
@@ -194,12 +197,14 @@ struct Reader {
     if (compression == COMP_ZIP || compression == COMP_PXR24)
       lines_per_chunk = 16;
     else if (compression == COMP_PIZ || compression == COMP_B44 ||
-             compression == COMP_B44A)
+             compression == COMP_B44A || compression == COMP_DWAA)
       lines_per_chunk = 32;
+    else if (compression == COMP_DWAB)
+      lines_per_chunk = 256;
     else if (compression == COMP_NONE || compression == COMP_RLE ||
              compression == COMP_ZIPS) lines_per_chunk = 1;
-    else return fail("unsupported compression (supported: NONE, RLE, ZIPS, "
-                     "ZIP, PIZ, PXR24, B44, B44A; not supported: DWAA/DWAB)");
+    else return fail("unsupported compression (decode supports NONE, RLE, "
+                     "ZIPS, ZIP, PIZ, PXR24, B44, B44A, DWAA, DWAB)");
     width = xmax - xmin + 1;
     height = ymax - ymin + 1;
     if (width <= 0 || height <= 0) return fail("empty data window");
@@ -450,6 +455,31 @@ struct Reader {
     return true;
   }
 
+  // DWA chunk decode (dwa.h): the CSC coupling makes per-channel decode
+  // wasteful, so one pass reconstructs every channel and the planes are
+  // cached per chunk payload — reading N channels costs one decode.
+  std::unordered_map<const uint8_t*, std::vector<std::vector<float>>>
+      dwa_cache_;
+  bool dwa_block(const uint8_t* payload, int csize, int bw, int bh,
+                 int x0, int y0, int target, float* dst) {
+    auto it = dwa_cache_.find(payload);
+    if (it == dwa_cache_.end()) {
+      std::vector<dwa::Chan> chs(channels.size());
+      for (size_t k = 0; k < channels.size(); ++k)
+        chs[k] = {channels[k].name, (int)channels[k].pixel_type};
+      std::vector<std::vector<float>> planes;
+      if (!dwa::decompress(payload, (size_t)csize, chs, bw, bh, &planes,
+                           &error, half_to_float, float_to_half))
+        return false;
+      it = dwa_cache_.emplace(payload, std::move(planes)).first;
+    }
+    const std::vector<float>& plane = it->second[target];
+    for (int line = 0; line < bh; ++line)
+      std::memcpy(dst + (size_t)(y0 + line) * width + x0,
+                  plane.data() + (size_t)line * bw, (size_t)bw * 4);
+    return true;
+  }
+
   // Decode one compressed block (scanline chunk or tile): bw x bh pixels at
   // (x0, y0) in the data window; scatter the target channel into dst.
   bool decode_block(const uint8_t* payload, int csize, int bw, int bh,
@@ -469,6 +499,8 @@ struct Reader {
       lines_ptr = payload;  // stored raw (incompressible block)
     } else if (compression == COMP_B44 || compression == COMP_B44A) {
       return b44_block(payload, csize, bw, bh, x0, y0, target, dst);
+    } else if (compression == COMP_DWAA || compression == COMP_DWAB) {
+      return dwa_block(payload, csize, bw, bh, x0, y0, target, dst);
     } else if (compression == COMP_PIZ) {
       std::vector<piz::ChanDesc> cds(channels.size());
       for (size_t k = 0; k < channels.size(); ++k)

@@ -22,10 +22,10 @@ plus a faster native C++ twin (``native/exr/exr_codec.cpp``, wrapped by
 - compression: NONE, RLE, ZIPS, ZIP (16 lines/chunk), PIZ (32 lines/chunk,
   wavelet + Huffman — io/piz.py), PXR24 (lossy 24-bit floats, lossless
   HALF/UINT), B44/B44A (32 lines/chunk, fixed-rate lossy 4×4 half blocks
-  — io/b44.py; the native codec decodes them too, encode is Python-only),
-  DWAA/DWAB (32/256 lines/chunk, lossy 8×8 DCT — io/dwa.py; Python-codec
-  only, the native codec rejects them and the dispatcher falls back); for
-  tiled files every scheme compresses whole tiles
+  — io/b44.py), DWAA/DWAB (32/256 lines/chunk, lossy 8×8 DCT — io/dwa.py);
+  B44/DWA decode also lives in the native codec (encode is Python-only;
+  the dispatcher falls back transparently); for tiled files every scheme
+  compresses whole tiles
 - pixel types: HALF, FLOAT, UINT
 - INCREASING_Y line order
 

@@ -388,8 +388,9 @@ def test_bad_level_mode_rejected(tmp_path, rng, backend):
 # DWA (DWAA/DWAB) — io/dwa.py, implemented from the format spec with the
 # PIZ discipline (VERDICT r2 next #8).  The reference's OpenEXR bindings
 # accept DWA transparently (setdata.py:42); DWAA is a common renderer
-# default.  Python codec only; the native codec rejects DWA and the
-# dispatcher falls back transparently.
+# default.  Decode also lives in the native codec (native/exr/dwa.h,
+# differential-tested below); encode is Python-only and the dispatcher
+# falls back transparently.
 # ---------------------------------------------------------------------------
 
 def _smooth_rgbaz(rng, h, w):
@@ -457,10 +458,10 @@ def test_dwa_tiled(tmp_path, rng):
     assert 10 * np.log10(1.0 / max(mse, 1e-12)) > 45.0
 
 
-def test_dwa_dispatcher_falls_back_to_python(tmp_path, rng, monkeypatch):
-    """With the native backend preferred (default), a DWA file must still
-    read — the native codec rejects it and the dispatcher retries with the
-    Python codec (io/exr.py:139-153)."""
+def test_dwa_dispatcher_reads_with_default_backend(tmp_path, rng, monkeypatch):
+    """With the native backend preferred (default), a DWA file reads —
+    natively when the codec is available (decode implemented in C++), via
+    the Python fallback otherwise (io/exr.py:139-153)."""
     monkeypatch.delenv("PCSS_EXR_BACKEND", raising=False)
     chans = {"R": rng.random((24, 24)).astype(np.float32),
              "G": rng.random((24, 24)).astype(np.float32),
@@ -472,6 +473,52 @@ def test_dwa_dispatcher_falls_back_to_python(tmp_path, rng, monkeypatch):
     assert stack.shape == (24, 24, 4)
     ref = chans["R"].astype(np.float16).astype(np.float32)
     assert float(np.abs(stack[..., 0] - ref).max()) < 0.05
+
+
+@pytest.mark.parametrize("comp", [exr_py.COMP_DWAA, exr_py.COMP_DWAB])
+def test_dwa_native_decode_matches_python(tmp_path, rng, comp):
+    """The native DWA decoder (native/exr/dwa.h) reproduces the Python
+    decoder bit-exactly across every classification scheme in one file:
+    a Rec.709 CSC set (R,G,B), an RLE alpha, a lossless UNKNOWN channel —
+    HALF and FLOAT storage, scanline and tiled containers."""
+    if _load_native() is None:
+        pytest.skip("native EXR codec unavailable")
+    from pcss_unet_tpu.io.exr import _read_channels_native
+
+    chans = _smooth_rgbaz(rng, 45, 61)
+    for kw in ({}, {"tile_size": (16, 16)}):
+        for pt in (PT_HALF, exr_py.PT_FLOAT):
+            path = str(tmp_path / "x.exr")
+            exr_py.write_exr_py(path, chans, compression=comp,
+                                pixel_type=pt, **kw)
+            py = exr_py.read_exr_channels_py(path, list(chans))
+            nat = _read_channels_native(path, list(chans))
+            for n in chans:
+                np.testing.assert_array_equal(nat[n], py[n])
+
+
+def test_dwa_native_csc_prefix_grouping(tmp_path, rng):
+    """Prefixed CSC sets (left.R/G/B) group per prefix in both decoders;
+    an incomplete set (lone right.R) codes solo — the grouping rules of
+    io/dwa.py classify() hold in the native twin."""
+    if _load_native() is None:
+        pytest.skip("native EXR codec unavailable")
+    from pcss_unet_tpu.io.exr import _read_channels_native
+
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    mk = lambda p: 0.5 + 0.4 * np.sin(xx / 9 + p) * np.cos(yy / 7 + p)  # noqa: E731
+    chans = {"left.R": mk(0), "left.G": mk(1), "left.B": mk(2),
+             "right.R": mk(3)}
+    path = str(tmp_path / "csc.exr")
+    exr_py.write_exr_py(path, chans, compression=exr_py.COMP_DWAA,
+                        pixel_type=PT_HALF)
+    py = exr_py.read_exr_channels_py(path, list(chans))
+    nat = _read_channels_native(path, list(chans))
+    for n in chans:
+        np.testing.assert_array_equal(nat[n], py[n])
+        ref = chans[n].astype(np.float16).astype(np.float32)
+        assert float(np.abs(py[n] - ref).max()) < 0.05, n
 
 
 def test_dwa_extreme_and_constant_planes(tmp_path, rng):
