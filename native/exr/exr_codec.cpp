@@ -29,7 +29,6 @@
 
 #include "piz.h"
 #include "dwa.h"
-#include <unordered_map>
 
 namespace {
 
@@ -301,10 +300,10 @@ struct Reader {
 
   // PXR24 stores per-row per-channel byte planes of running-differenced
   // pixels, zlib-compressed; FLOAT rows are 24-bit (low byte dropped).
-  // Decodes one bw x bh block at (x0, y0), scattering the target channel
-  // into the full-width dst plane.
+  // Decodes one bw x bh block at (x0, y0), scattering every requested
+  // channel (dsts[k] != null) into its full-width plane in ONE pass.
   bool pxr24_block(const uint8_t* payload, int csize, int bw, int bh,
-                   int x0, int y0, int target, float* dst) {
+                   int x0, int y0, const std::vector<float*>& dsts) {
     size_t planes_size = 0;
     for (auto& ch : channels)
       planes_size += (size_t)bw *
@@ -322,12 +321,12 @@ struct Reader {
       for (size_t k = 0; k < channels.size(); ++k) {
         int cpt = channels[k].pixel_type;
         int nplanes = cpt == PT_FLOAT ? 3 : cpt == PT_HALF ? 2 : 4;
-        if ((int)k != target) {
+        if (!dsts[k]) {
           pos += (size_t)bw * nplanes;
           continue;
         }
         const uint8_t* p = scratch_.data() + pos;
-        float* row = dst + (size_t)(y0 + line) * width + x0;
+        float* row = dsts[k] + (size_t)(y0 + line) * width + x0;
         if (cpt == PT_FLOAT) {
           uint32_t acc = 0;
           for (int x = 0; x < bw; ++x) {
@@ -371,7 +370,7 @@ struct Reader {
   // offset by 0x8000).
   std::vector<uint16_t> b44_plane_;
   bool b44_block(const uint8_t* payload, int csize, int bw, int bh,
-                 int x0, int y0, int target, float* dst) {
+                 int x0, int y0, const std::vector<float*>& dsts) {
     static const int kOrder[15][2] = {
         {4, 0}, {8, 4}, {12, 8},
         {1, 0}, {5, 4}, {9, 8}, {13, 12},
@@ -381,14 +380,14 @@ struct Reader {
     const uint8_t* end = payload + csize;
     for (size_t k = 0; k < channels.size(); ++k) {
       int cpt = channels[k].pixel_type;
-      bool want = (int)k == target;
+      bool want = dsts[k] != nullptr;
       if (cpt != PT_HALF) {  // FLOAT/UINT stored verbatim, planar
         size_t nbytes = (size_t)bw * bh * pixel_size(cpt);
         if (p + nbytes > end) { error = "truncated B44 chunk"; return false; }
         if (want) {
           for (int line = 0; line < bh; ++line) {
             const uint8_t* src = p + (size_t)line * bw * pixel_size(cpt);
-            float* row = dst + (size_t)(y0 + line) * width + x0;
+            float* row = dsts[k] + (size_t)(y0 + line) * width + x0;
             if (cpt == PT_FLOAT) {
               std::memcpy(row, src, (size_t)bw * 4);
             } else {
@@ -446,7 +445,7 @@ struct Reader {
       }
       if (want) {
         for (int line = 0; line < bh; ++line) {
-          float* row = dst + (size_t)(y0 + line) * width + x0;
+          float* row = dsts[k] + (size_t)(y0 + line) * width + x0;
           const uint16_t* src = b44_plane_.data() + (size_t)line * pw;
           for (int x = 0; x < bw; ++x) row[x] = half_to_float(src[x]);
         }
@@ -455,52 +454,49 @@ struct Reader {
     return true;
   }
 
-  // DWA chunk decode (dwa.h): the CSC coupling makes per-channel decode
-  // wasteful, so one pass reconstructs every channel and the planes are
-  // cached per chunk payload — reading N channels costs one decode.
-  std::unordered_map<const uint8_t*, std::vector<std::vector<float>>>
-      dwa_cache_;
+  // DWA chunk decode (dwa.h): the CSC coupling means one pass reconstructs
+  // every channel anyway; all requested channels scatter from that pass.
   bool dwa_block(const uint8_t* payload, int csize, int bw, int bh,
-                 int x0, int y0, int target, float* dst) {
-    auto it = dwa_cache_.find(payload);
-    if (it == dwa_cache_.end()) {
-      std::vector<dwa::Chan> chs(channels.size());
-      for (size_t k = 0; k < channels.size(); ++k)
-        chs[k] = {channels[k].name, (int)channels[k].pixel_type};
-      std::vector<std::vector<float>> planes;
-      if (!dwa::decompress(payload, (size_t)csize, chs, bw, bh, &planes,
-                           &error, half_to_float, float_to_half))
-        return false;
-      it = dwa_cache_.emplace(payload, std::move(planes)).first;
+                 int x0, int y0, const std::vector<float*>& dsts) {
+    std::vector<dwa::Chan> chs(channels.size());
+    for (size_t k = 0; k < channels.size(); ++k)
+      chs[k] = {channels[k].name, (int)channels[k].pixel_type};
+    std::vector<std::vector<float>> planes;
+    if (!dwa::decompress(payload, (size_t)csize, chs, bw, bh, &planes,
+                         &error, half_to_float, float_to_half))
+      return false;
+    for (size_t k = 0; k < channels.size(); ++k) {
+      if (!dsts[k]) continue;
+      const std::vector<float>& plane = planes[k];
+      for (int line = 0; line < bh; ++line)
+        std::memcpy(dsts[k] + (size_t)(y0 + line) * width + x0,
+                    plane.data() + (size_t)line * bw, (size_t)bw * 4);
     }
-    const std::vector<float>& plane = it->second[target];
-    for (int line = 0; line < bh; ++line)
-      std::memcpy(dst + (size_t)(y0 + line) * width + x0,
-                  plane.data() + (size_t)line * bw, (size_t)bw * 4);
     return true;
   }
 
   // Decode one compressed block (scanline chunk or tile): bw x bh pixels at
-  // (x0, y0) in the data window; scatter the target channel into dst.
+  // (x0, y0) in the data window; ONE decompression pass scatters every
+  // requested channel (dsts[k] != null) into its full-width plane — an
+  // N-channel read costs one inflate/Huffman pass, not N.
   bool decode_block(const uint8_t* payload, int csize, int bw, int bh,
-                    int x0, int y0, int target, float* dst) {
+                    int x0, int y0, const std::vector<float*>& dsts) {
     if (compression == COMP_PXR24)
-      return pxr24_block(payload, csize, bw, bh, x0, y0, target, dst);
-    size_t line_bytes = 0, target_off = 0;
+      return pxr24_block(payload, csize, bw, bh, x0, y0, dsts);
+    size_t line_bytes = 0;
+    std::vector<size_t> chan_off(channels.size());
     for (size_t i = 0; i < channels.size(); ++i) {
-      size_t rb = (size_t)bw * pixel_size(channels[i].pixel_type);
-      if ((int)i < target) target_off += rb;
-      line_bytes += rb;
+      chan_off[i] = line_bytes;
+      line_bytes += (size_t)bw * pixel_size(channels[i].pixel_type);
     }
-    int pt = channels[target].pixel_type;
     size_t raw_size = line_bytes * (size_t)bh;
     const uint8_t* lines_ptr;
     if (compression == COMP_NONE || (size_t)csize >= raw_size) {
       lines_ptr = payload;  // stored raw (incompressible block)
     } else if (compression == COMP_B44 || compression == COMP_B44A) {
-      return b44_block(payload, csize, bw, bh, x0, y0, target, dst);
+      return b44_block(payload, csize, bw, bh, x0, y0, dsts);
     } else if (compression == COMP_DWAA || compression == COMP_DWAB) {
-      return dwa_block(payload, csize, bw, bh, x0, y0, target, dst);
+      return dwa_block(payload, csize, bw, bh, x0, y0, dsts);
     } else if (compression == COMP_PIZ) {
       std::vector<piz::ChanDesc> cds(channels.size());
       for (size_t k = 0; k < channels.size(); ++k)
@@ -530,28 +526,55 @@ struct Reader {
       lines_ptr = raw_.data();
     }
     for (int line = 0; line < bh; ++line) {
-      const uint8_t* src = lines_ptr + line_bytes * line + target_off;
-      float* row = dst + (size_t)(y0 + line) * width + x0;
-      if (pt == PT_FLOAT) {
-        std::memcpy(row, src, (size_t)bw * 4);
-      } else if (pt == PT_HALF) {
-        const uint16_t* hp = (const uint16_t*)src;
-        for (int x = 0; x < bw; ++x) row[x] = half_to_float(hp[x]);
-      } else {  // UINT
-        const uint32_t* up = (const uint32_t*)src;
-        for (int x = 0; x < bw; ++x) row[x] = (float)up[x];
+      for (size_t k = 0; k < channels.size(); ++k) {
+        if (!dsts[k]) continue;
+        const uint8_t* src = lines_ptr + line_bytes * line + chan_off[k];
+        float* row = dsts[k] + (size_t)(y0 + line) * width + x0;
+        int pt = channels[k].pixel_type;
+        if (pt == PT_FLOAT) {
+          std::memcpy(row, src, (size_t)bw * 4);
+        } else if (pt == PT_HALF) {
+          const uint16_t* hp = (const uint16_t*)src;
+          for (int x = 0; x < bw; ++x) row[x] = half_to_float(hp[x]);
+        } else {  // UINT
+          const uint32_t* up = (const uint32_t*)src;
+          for (int x = 0; x < bw; ++x) row[x] = (float)up[x];
+        }
       }
     }
     return true;
   }
 
-  // Decode one channel (by name) into dst [height*width] float32.
-  // Returns 1 on success, 0 if the channel is absent, -1 on error.
-  int read_channel(const char* cname, float* dst) {
-    int target = -1;
-    for (size_t i = 0; i < channels.size(); ++i)
-      if (channels[i].name == cname) { target = (int)i; break; }
-    if (target < 0) return 0;
+  // Decode ``n`` channels (by name) into dst planes [height*width] float32
+  // in ONE pass over the chunks.  present[i] is set to 1 if channel i
+  // exists in the file, 0 otherwise (its plane is left untouched).
+  // Returns 0 on success, -1 on error.
+  int read_channels(const char* const* cnames, float* const* dst_planes,
+                    int n, int* present) {
+    std::vector<float*> dsts(channels.size(), nullptr);
+    std::vector<int> chan_of(n, -1);  // request j -> file channel index
+    bool any = false;
+    for (int j = 0; j < n; ++j) {
+      present[j] = 0;
+      for (size_t i = 0; i < channels.size(); ++i)
+        if (channels[i].name == cnames[j]) {
+          if (!dsts[i]) dsts[i] = dst_planes[j];  // first request wins
+          chan_of[j] = (int)i;
+          present[j] = 1;
+          any = true;
+          break;
+        }
+    }
+    if (!any) return 0;
+    // Duplicate requests for one channel share a decode: the first
+    // request's plane receives the scatter, the rest copy from it.
+    auto finish = [&]() {
+      for (int j = 0; j < n; ++j)
+        if (chan_of[j] >= 0 && dst_planes[j] != dsts[chan_of[j]])
+          std::memcpy(dst_planes[j], dsts[chan_of[j]],
+                      (size_t)width * height * 4);
+      return 0;
+    };
 
     if (tiled) {
       for (int64_t off : chunk_offsets) {
@@ -580,11 +603,10 @@ struct Reader {
         }
         int bw = std::min(tile_w, width - x0);
         int bh = std::min(tile_h, height - y0);
-        if (!decode_block(data + off + 20, csize, bw, bh, x0, y0, target,
-                          dst))
+        if (!decode_block(data + off + 20, csize, bw, bh, x0, y0, dsts))
           return -1;
       }
-      return 1;
+      return finish();
     }
     for (size_t ci = 0; ci < chunk_offsets.size(); ++ci) {
       int64_t off = chunk_offsets[ci];
@@ -597,11 +619,19 @@ struct Reader {
       }
       int y0 = y - ymin;
       int n_lines = std::min(lines_per_chunk, height - y0);
-      if (!decode_block(data + off + 8, csize, width, n_lines, 0, y0,
-                        target, dst))
+      if (!decode_block(data + off + 8, csize, width, n_lines, 0, y0, dsts))
         return -1;
     }
-    return 1;
+    return finish();
+  }
+
+  // Single-channel convenience (legacy API): 1 found, 0 absent, -1 error.
+  int read_channel(const char* cname, float* dst) {
+    int present = 0;
+    float* planes[1] = {dst};
+    const char* names[1] = {cname};
+    if (read_channels(names, planes, 1, &present) != 0) return -1;
+    return present;
   }
 };
 
@@ -682,6 +712,14 @@ int pcss_exr_channel_name(void* h, int idx, char* buf, int buflen) {
 
 int pcss_exr_read_channel(void* h, const char* name, float* dst) {
   return ((Reader*)h)->read_channel(name, dst);
+}
+
+// Decode n channels in ONE pass over the file's chunks (one inflate/
+// Huffman/DCT pass total, not per channel).  present[i] <- 1 if channel i
+// exists (its plane filled), 0 if absent.  Returns 0 ok, -1 error.
+int pcss_exr_read_channels(void* h, const char* const* names,
+                           float* const* dsts, int n, int* present) {
+  return ((Reader*)h)->read_channels(names, dsts, n, present);
 }
 
 const char* pcss_exr_error(void* h) {

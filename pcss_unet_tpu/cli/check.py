@@ -2,6 +2,8 @@
 check_channel_stats.py, test.py rolled into subcommands).
 
     check channels  — every *_input.exr has the 4-channel contract (test.py:18-36)
+    check split     — every channel of one EXR → normalized grayscale PNGs
+                      (test.py:38-86)
     check pair      — channel stats of one EXR/PNG pair (check.py:48-91)
     check packs     — per-sample per-channel stats report of packed arrays
                       (check_channel_stats.py:24-130)
@@ -92,6 +94,30 @@ def cmd_pair(args) -> int:
     return 0
 
 
+def cmd_split(args) -> int:
+    """Split every channel of an EXR into min-max-normalized 8-bit grayscale
+    PNGs (reference test.py:38-86 ``split_exr_channels`` — its interactive
+    cv2.imshow step is replaced by the written artifacts)."""
+    from PIL import Image
+
+    from pcss_unet_tpu.io.exr import list_exr_channels, read_exr_channels
+
+    names = list_exr_channels(args.exr)
+    chans = read_exr_channels(args.exr, names)
+    os.makedirs(args.out_dir, exist_ok=True)
+    for name in names:
+        arr = chans[name]
+        lo, hi = float(np.nanmin(arr)), float(np.nanmax(arr))
+        # reference test.py:66-72: constant channels map to zeros
+        norm = np.zeros_like(arr) if hi == lo else (arr - lo) / (hi - lo)
+        u8 = (np.nan_to_num(norm, nan=0.0) * 255).astype(np.uint8)
+        safe = name.replace("/", "_").replace(".", "_")  # layered names
+        out = os.path.join(args.out_dir, f"{safe}.png")
+        Image.fromarray(u8, "L").save(out)
+        print(f"wrote {out}  range [{lo:.5f}, {hi:.5f}]")
+    return 0
+
+
 def cmd_packs(args) -> int:
     path = os.path.join(args.dataset_path, f"{args.split}_inputs.npy")
     data = np.load(path, mmap_mode="r")
@@ -149,6 +175,11 @@ def main(argv=None) -> None:
                     help="write a per-channel montage PNG here (headless "
                          "equivalent of the reference interactive viewer, "
                          "check.py:93-147)")
+    c4 = sub.add_parser("split", help="split every EXR channel into "
+                                      "normalized grayscale PNGs "
+                                      "(test.py:38-86)")
+    c4.add_argument("--exr", required=True)
+    c4.add_argument("--out_dir", default=".")
     c3 = sub.add_parser("packs", help="per-sample stats of packed arrays")
     c3.add_argument("--dataset_path", required=True)
     c3.add_argument("--split", default="train")
@@ -159,7 +190,7 @@ def main(argv=None) -> None:
                          "(check_channel_stats.py:132-149)")
     args = p.parse_args(argv)
     raise SystemExit({"channels": cmd_channels, "pair": cmd_pair,
-                      "packs": cmd_packs}[args.cmd](args))
+                      "packs": cmd_packs, "split": cmd_split}[args.cmd](args))
 
 
 if __name__ == "__main__":

@@ -86,6 +86,12 @@ def _load_native():
         lib.pcss_exr_read_channel.restype = ctypes.c_int
         lib.pcss_exr_read_channel.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                               ctypes.POINTER(ctypes.c_float)]
+        if hasattr(lib, "pcss_exr_read_channels"):
+            lib.pcss_exr_read_channels.restype = ctypes.c_int
+            lib.pcss_exr_read_channels.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
         lib.pcss_exr_error.restype = ctypes.c_char_p
         lib.pcss_exr_error.argtypes = [ctypes.c_void_p]
         lib.pcss_exr_close.restype = None
@@ -119,8 +125,24 @@ def _read_channels_native(path: str, names: Sequence[str]):
             raise IOError(f"EXR parse error in {path}: "
                           f"{lib.pcss_exr_error(handle).decode()}")
         out: dict[str, np.ndarray | None] = {}
-        for name in names:
-            buf = np.empty((h.value, w.value), np.float32)
+        bufs = [np.empty((h.value, w.value), np.float32) for _ in names]
+        if hasattr(lib, "pcss_exr_read_channels"):
+            # one pass over the chunks for ALL channels: decompression
+            # (inflate/Huffman/DCT) runs once, not once per channel
+            n = len(names)
+            name_arr = (ctypes.c_char_p * n)(*[s.encode() for s in names])
+            ptr_arr = (ctypes.POINTER(ctypes.c_float) * n)(
+                *[b.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+                  for b in bufs])
+            present = (ctypes.c_int * n)()
+            if lib.pcss_exr_read_channels(handle, name_arr, ptr_arr, n,
+                                          present) != 0:
+                raise IOError(f"EXR decode error in {path}: "
+                              f"{lib.pcss_exr_error(handle).decode()}")
+            for i, name in enumerate(names):
+                out[name] = bufs[i] if present[i] else None
+            return out
+        for name, buf in zip(names, bufs):  # pre-multi-read .so
             rc = lib.pcss_exr_read_channel(
                 handle, name.encode(),
                 buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
@@ -134,6 +156,17 @@ def _read_channels_native(path: str, names: Sequence[str]):
         return out
     finally:
         lib.pcss_exr_close(handle)
+
+
+def list_exr_channels(path: str, part: int | str = 0) -> list[str]:
+    """Channel names in file (chlist) order — the reference inspects the
+    header channel list through ``OpenEXR.InputFile(...).header()``
+    (test.py:8-14, 40-43); this is the header-only equivalent.  Uses the
+    Python parser for both backends (no pixel decode happens)."""
+    if not os.path.exists(path):
+        raise IOError(f"EXR file does not exist: {path}")
+    with open(path, "rb") as f:
+        return [c.name for c in exr_py.ExrFile(f.read(), part=part).channels]
 
 
 def read_exr_channels(path: str, names: Sequence[str],

@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _convblock_kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref,
                       w2_ref, b2_ref, out_ref, *, k_rows: int, wp: int,
                       negative_slope: float, stack_taps: bool = False,
-                      interpret: bool = False):
+                      acc_shift: bool = False, interpret: bool = False):
     i = pl.program_id(0)
     n = pl.num_programs(0)
     # interpret mode inlines these dots as XLA CPU ops, and the CPU
@@ -59,6 +59,41 @@ def _convblock_kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref,
     ext = jnp.concatenate([prev_last, cur_ref[0], next_first], axis=1)
 
     cmid = b1_ref.shape[0]
+    if acc_shift:
+        # Tap shifts moved to the OUTPUT: conv linearity gives
+        #   Σ_dx shift_dx(W_dx @ x) = Σ_dx W_dx @ shift_dx(x),
+        # so the 6 per-input lane shifts + 9 tap materializations collapse
+        # to 9 dots on FREE lane-aligned ext slices (dy offsets are
+        # multiples of wp ≡ 0 mod 128) followed by TWO lane shifts of the
+        # [Cmid, k·Wp] fp32 accumulators.  Zero-pad columns stay zero
+        # through the dot (W @ 0 = 0, bias added after the combine), so
+        # row-boundary crossings still land on zeros — exact SAME padding.
+        accs = [jnp.zeros((cmid, k_rows * wp), jnp.float32)
+                for _ in range(3)]                   # dx = -1, 0, +1
+        for dy in range(3):
+            band = ext[:, dy * wp: dy * wp + k_rows * wp]
+            bandc = band.astype(compute_dt)
+            for g in range(3):                       # tap t = dy*3 + dx+1
+                accs[g] += jax.lax.dot_general(
+                    w1_ref[dy * 3 + g].astype(compute_dt), bandc,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        zacc = jnp.zeros((cmid, 1), jnp.float32)
+        acc = accs[1]
+        # dx=+1: out[p] += (W_+1 @ x)[p+1] → shift the accumulator left
+        acc += jnp.concatenate([accs[2][:, 1:], zacc], axis=1)
+        # dx=-1: out[p] += (W_-1 @ x)[p-1] → shift right
+        acc += jnp.concatenate([zacc, accs[0][:, :-1]], axis=1)
+        h = acc + b1_ref[:].astype(jnp.float32)
+        h = jnp.where(h >= 0, h, h * negative_slope).astype(compute_dt)
+        out = jax.lax.dot_general(
+            w2_ref[:].astype(compute_dt), h,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = out + b2_ref[:].astype(jnp.float32)
+        out = jnp.where(out >= 0, out, out * negative_slope)
+        out_ref[0] = out.astype(out_ref.dtype)
+        return
     taps = []
     for dy in range(3):
         band = ext[:, dy * wp: dy * wp + k_rows * wp]
@@ -105,12 +140,14 @@ def _convblock_kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("k_rows", "negative_slope",
-                                             "interpret", "stack_taps"))
+                                             "interpret", "stack_taps",
+                                             "acc_shift"))
 def fused_conv_block_chw(x: jax.Array, w1: jax.Array, b1: jax.Array,
                          w2: jax.Array, b2: jax.Array, *, k_rows: int = 16,
                          negative_slope: float = 0.2,
                          interpret: bool = False,
-                         stack_taps: bool = False) -> jax.Array:
+                         stack_taps: bool = False,
+                         acc_shift: bool = False) -> jax.Array:
     """x [N, Cin, H, Wp] (W already zero-padded to a multiple of 128 with at
     least one pad column; pad rows if H % k_rows) → [N, Cout, H, Wp].
 
@@ -125,6 +162,9 @@ def fused_conv_block_chw(x: jax.Array, w1: jax.Array, b1: jax.Array,
     bands = h // k_rows
     x2 = x.reshape(n, cin, h * wp)
     grid = (bands, n)
+    if stack_taps and acc_shift:
+        raise ValueError("stack_taps and acc_shift are exclusive tap "
+                         "strategies")
     if stack_taps:
         # pre-flatten [9,Cmid,Cin] → [Cmid, 9·Cin] in XLA land; tap t's
         # block column t·Cin:(t+1)·Cin pairs with taps[t] in the kernel
@@ -145,7 +185,8 @@ def fused_conv_block_chw(x: jax.Array, w1: jax.Array, b1: jax.Array,
     out = pl.pallas_call(
         functools.partial(_convblock_kernel, k_rows=k_rows, wp=wp,
                           negative_slope=negative_slope,
-                          stack_taps=stack_taps, interpret=interpret),
+                          stack_taps=stack_taps, acc_shift=acc_shift,
+                          interpret=interpret),
         out_shape=jax.ShapeDtypeStruct((n, cout, h * wp), x.dtype),
         grid=grid,
         in_specs=[band_spec(-1), band_spec(0), band_spec(+1),
@@ -178,19 +219,21 @@ def pack_convblock_params(params: dict, dtype=jnp.bfloat16):
 
 
 def _pick_k_rows(cin: int, cmid: int, cout: int, wp: int,
-                 itemsize: int = 2) -> int:
+                 itemsize: int = 2, acc_shift: bool = False) -> int:
     """Largest band height whose kernel working set fits scoped VMEM.
 
     Per band: 3 row-band inputs (double-buffered by the Pallas pipeline),
-    the ext concat (+2 halo rows), fp32 accumulator + compute-dtype hidden,
+    the ext concat (+2 halo rows), fp32 accumulator + compute-dtype hidden
+    (acc_shift keeps THREE fp32 accumulators live through the dx combine),
     and the fp32 out + double-buffered out block.  Budget 14 MB of the
     16 MB scoped-vmem limit (the 64→16 dec_final block at Wp=1024 measures
     26 MB at k_rows=16 — a fixed 16 OOMs inside the full model)."""
     budget = 14 * 1024 * 1024
+    n_acc = 3 if acc_shift else 1
     for k in (32, 16, 8, 4, 2, 1):
         band = 3 * 2 * cin * k * wp * itemsize
         ext = cin * (k + 2) * wp * itemsize
-        mid = cmid * k * wp * (4 + itemsize)
+        mid = cmid * k * wp * (n_acc * 4 + itemsize)
         out = cout * k * wp * (4 + 2 * itemsize)
         if band + ext + mid + out <= budget:
             return k
@@ -198,12 +241,14 @@ def _pick_k_rows(cin: int, cmid: int, cout: int, wp: int,
 
 
 @functools.partial(jax.jit, static_argnames=("k_rows", "negative_slope",
-                                             "interpret", "stack_taps"))
+                                             "interpret", "stack_taps",
+                                             "acc_shift"))
 def fused_conv_block_nhwc(x: jax.Array, w1, b1, w2, b2, *,
                           k_rows: int | None = None,
                           negative_slope: float = 0.2,
                           interpret: bool = False,
-                          stack_taps: bool = False) -> jax.Array:
+                          stack_taps: bool = False,
+                          acc_shift: bool = False) -> jax.Array:
     """NHWC convenience wrapper: [N,H,W,Cin] → [N,H,W,Cout].  Pads W to the
     lane multiple and H to the band multiple, transposes to channels-major,
     runs the fused kernel, and transposes back (the transposes are XLA
@@ -213,11 +258,13 @@ def fused_conv_block_nhwc(x: jax.Array, w1, b1, w2, b2, *,
     wp = (w // 128 + 1) * 128
     if k_rows is None:
         k_rows = _pick_k_rows(cin, w1.shape[1], w2.shape[0], wp,
-                              itemsize=x.dtype.itemsize)
+                              itemsize=x.dtype.itemsize,
+                              acc_shift=acc_shift)
     hp = ((h + k_rows - 1) // k_rows) * k_rows
     x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
     xc = x.transpose(0, 3, 1, 2)
     out = fused_conv_block_chw(xc, w1, b1, w2, b2, k_rows=k_rows,
                                negative_slope=negative_slope,
-                               interpret=interpret, stack_taps=stack_taps)
+                               interpret=interpret, stack_taps=stack_taps,
+                               acc_shift=acc_shift)
     return out.transpose(0, 2, 3, 1)[:, :h, :w, :]

@@ -93,10 +93,19 @@ def main():
         ms_xla = timed(functools.partial(xla_block, params=params), x)
         ms_fused = timed(
             lambda t: fused_conv_block_nhwc(t, w1, b1, w2, b2), x)
+        ms_stack = timed(
+            lambda t: fused_conv_block_nhwc(t, w1, b1, w2, b2,
+                                            stack_taps=True), x)
+        ms_accs = timed(
+            lambda t: fused_conv_block_nhwc(t, w1, b1, w2, b2,
+                                            acc_shift=True), x)
         print(json.dumps({
             "stage": name, "shape": f"{h}x{w}x{cin}->{cmid}->{cout}",
             "xla_ms": round(ms_xla, 3), "fused_ms": round(ms_fused, 3),
-            "speedup": round(ms_xla / ms_fused, 2),
+            "stack_taps_ms": round(ms_stack, 3),
+            "acc_shift_ms": round(ms_accs, 3),
+            "speedup_best": round(
+                ms_xla / min(ms_fused, ms_stack, ms_accs), 2),
         }))
 
 

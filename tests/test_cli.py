@@ -126,3 +126,29 @@ def test_cli_full_chain(workdir, capsys):
     out = capsys.readouterr().out
     assert "verdict:" in out.lower()
     assert "FAIL" not in out.split("verdict:")[-1]
+
+
+def test_check_split_channels(tmp_path, capsys):
+    """`check split` mirrors reference test.py:38-86: every channel in the
+    file becomes a min-max-normalized 8-bit grayscale PNG; constant channels
+    map to zeros."""
+    from PIL import Image
+
+    from pcss_unet_tpu.io.exr import write_exr
+
+    rng = np.random.default_rng(3)
+    h, w = 9, 13
+    chans = {"R": rng.random((h, w)).astype(np.float32) * 4 - 2,
+             "const": np.full((h, w), 0.7, np.float32),
+             "depth.Z": rng.random((h, w)).astype(np.float32)}
+    path = str(tmp_path / "g.exr")
+    write_exr(path, chans)
+    with pytest.raises(SystemExit) as e:
+        cli_check.main(["split", "--exr", path,
+                        "--out_dir", str(tmp_path / "out")])
+    assert e.value.code == 0
+    r = np.asarray(Image.open(tmp_path / "out" / "R.png"))
+    assert r.shape == (h, w) and r.min() == 0 and r.max() == 255
+    const = np.asarray(Image.open(tmp_path / "out" / "const.png"))
+    np.testing.assert_array_equal(const, 0)  # test.py:71-72 semantics
+    assert (tmp_path / "out" / "depth_Z.png").exists()  # sanitized name

@@ -134,3 +134,22 @@ def test_fused_convblock_batched(rng):
     got = np.asarray(fused_conv_block_nhwc(x, w1, b1, w2, b2, k_rows=8,
                                            interpret=True))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("strategy", ["plain", "stack_taps", "acc_shift"])
+@pytest.mark.parametrize("cin,cmid,cout,h,w,k", [
+    (16, 16, 64, 32, 48, 8),      # enc_0 shape class
+    (64, 64, 16, 24, 130, 8),     # dec_final class; W just over a lane tile
+])
+def test_tap_strategies_match_xla(rng, strategy, cin, cmid, cout, h, w, k):
+    """All three tap strategies — per-tap dots, stacked-K contraction,
+    output-accumulator shifts — compute the same ConvBlock."""
+    params = _make_params(rng, cin, cmid, cout)
+    x = jnp.asarray(rng.standard_normal((1, h, w, cin)).astype(np.float32))
+    ref = np.asarray(_xla_block(x, params))
+    w1, b1, w2, b2 = pack_convblock_params(params, dtype=jnp.float32)
+    got = np.asarray(fused_conv_block_nhwc(
+        x, w1, b1, w2, b2, k_rows=k, interpret=True,
+        stack_taps=strategy == "stack_taps",
+        acc_shift=strategy == "acc_shift"))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

@@ -835,3 +835,52 @@ def test_multipart_deep_part_rejected(tmp_path, rng):
     # part 0 is untouched and still reads
     out = exr_py.read_exr_channels_py(path, ["R"], part=0)
     np.testing.assert_array_equal(out["R"], parts[0][1]["R"])
+
+
+@pytest.mark.parametrize("comp", [COMP_NONE, COMP_RLE, COMP_ZIP,
+                                  exr_py.COMP_PIZ, exr_py.COMP_PXR24])
+def test_native_one_pass_matches_per_channel(tmp_path, rng, comp):
+    """The one-pass multi-channel native read (pcss_exr_read_channels: one
+    inflate/Huffman pass scattering every requested plane) returns exactly
+    the planes the legacy per-channel API produces, reports absent channels
+    without disturbing the found ones, and tolerates duplicate requests."""
+    import ctypes
+
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "pcss_exr_read_channels"):
+        pytest.skip("native multi-channel read unavailable")
+    h, w = 29, 47
+    chans = {n: rng.standard_normal((h, w)).astype(np.float32)
+             for n in ("B", "G", "R", "Z")}
+    path = str(tmp_path / "mc.exr")
+    write_exr(path, chans, compression=comp)
+
+    hdl = lib.pcss_exr_open_file(path.encode())
+    assert hdl
+    try:
+        names = ["R", "missing", "Z", "B", "Z"]  # absent + duplicate
+        n = len(names)
+        bufs = [np.full((h, w), -7.0, np.float32) for _ in names]
+        name_arr = (ctypes.c_char_p * n)(*[s.encode() for s in names])
+        ptr_arr = (ctypes.POINTER(ctypes.c_float) * n)(
+            *[b.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+              for b in bufs])
+        present = (ctypes.c_int * n)()
+        assert lib.pcss_exr_read_channels(hdl, name_arr, ptr_arr, n,
+                                          present) == 0
+        assert list(present) == [1, 0, 1, 1, 1]
+        for name, buf, pres in zip(names, bufs, present):
+            if not pres:
+                np.testing.assert_array_equal(buf, -7.0)  # untouched
+                continue
+            legacy = np.empty((h, w), np.float32)
+            assert lib.pcss_exr_read_channel(
+                hdl, name.encode(),
+                legacy.ctypes.data_as(ctypes.POINTER(ctypes.c_float))) == 1
+            np.testing.assert_array_equal(buf, legacy)
+            if comp == exr_py.COMP_PXR24:  # lossy: low mantissa byte dropped
+                np.testing.assert_allclose(buf, chans[name], rtol=1e-4)
+            else:
+                np.testing.assert_array_equal(buf, chans[name])
+    finally:
+        lib.pcss_exr_close(hdl)
