@@ -264,13 +264,19 @@ class ConvBlock(nn.Module):
             w2 = pb["kernel"][0, 0].T.astype(self.dtype)     # [Cout, Cmid]
             b1 = pa["bias"].astype(jnp.float32)[:, None]
             b2 = pb["bias"].astype(jnp.float32)[:, None]
-            # stack_taps: one K=9·Cin MXU contraction instead of 9 K=Cin
-            # ones — measured 1.03-1.22× across the deployment stages
-            # (docs/BENCHMARKS.md "stacked-tap contraction")
+            # Tap strategy (measured defaults in docs/BENCHMARKS.md):
+            # stack_taps = one K=9·Cin MXU contraction instead of 9 K=Cin
+            # ones (1.03-1.22× over per-tap dots); acc_shift moves the dx
+            # shifts onto the output accumulators.  PCSS_CONVBLOCK_TAPS
+            # overrides for A/B measurement without a code change.
+            import os
+
+            strategy = os.environ.get("PCSS_CONVBLOCK_TAPS", "stack")
             return fused_conv_block_nhwc(
                 x.astype(self.dtype), w1, b1, w2, b2,
                 negative_slope=0.2, interpret=self.pallas_interpret,
-                stack_taps=True)
+                stack_taps=strategy == "stack",
+                acc_shift=strategy == "acc_shift")
         x = conv_a(x)
         x = self._apply_norm(self._norm("norm_a"), x, train)
         x = act(x).astype(self.dtype)
