@@ -113,6 +113,13 @@ struct Reader {
   int level_mode = 0, level_rounding = 0;
   std::vector<int64_t> chunk_offsets;
   std::string error;
+  // multi-part (version flag 0x1000): selected part, chunk part-number
+  // prefix size (4 bytes in multi-part streams, 0 otherwise), and the
+  // selected part's authoritative chunkCount attribute
+  int want_part = 0;
+  int n_parts = 1;
+  int chunk_prefix = 0;
+  int32_t forced_chunks = -1;
 
   bool fail(const std::string& msg) { error = msg; return false; }
 
@@ -122,6 +129,75 @@ struct Reader {
     if (pos >= size) return false;
     out->assign((const char*)data + start, pos - start);
     ++pos;
+    return true;
+  }
+
+  // Walk one header's attribute list from ``pos`` (left just past the
+  // terminating empty name).  When ``record`` the part's channels/
+  // dataWindow/compression/tiles fill the Reader members; ``chunk_count``
+  // and ``ptype`` always capture chunkCount/type when present.
+  bool parse_one_header(size_t& pos, bool record, bool* have_channels,
+                        bool* have_dw, bool* have_comp, bool* have_tiles,
+                        int32_t* chunk_count, std::string* ptype) {
+    while (true) {
+      std::string name, type;
+      if (!read_cstr(pos, &name)) return fail("truncated header");
+      if (name.empty()) break;
+      if (!read_cstr(pos, &type)) return fail("truncated header");
+      if (pos + 4 > size) return fail("truncated header");
+      int32_t asize;
+      std::memcpy(&asize, data + pos, 4);
+      pos += 4;
+      if (asize < 0 || pos + (size_t)asize > size) return fail("bad attribute size");
+      const uint8_t* payload = data + pos;
+      if (name == "chunkCount" && asize >= 4) {
+        std::memcpy(chunk_count, payload, 4);
+      } else if (name == "type") {
+        ptype->assign((const char*)payload, (size_t)asize);
+        while (!ptype->empty() && ptype->back() == '\0') ptype->pop_back();
+      } else if (!record) {
+        // parts other than the selected one only contribute chunkCount
+      } else if (name == "channels") {
+        size_t cpos = 0;
+        while (cpos < (size_t)asize && payload[cpos] != 0) {
+          Channel ch;
+          size_t s = cpos;
+          while (cpos < (size_t)asize && payload[cpos] != 0) ++cpos;
+          ch.name.assign((const char*)payload + s, cpos - s);
+          ++cpos;
+          if (cpos + 16 > (size_t)asize) return fail("bad chlist");
+          std::memcpy(&ch.pixel_type, payload + cpos, 4);
+          cpos += 16;  // pixel_type(4) + pLinear/reserved(4) + xSampling(4) + ySampling(4)
+          channels.push_back(ch);
+        }
+        *have_channels = true;
+      } else if (name == "dataWindow") {
+        if (asize < 16) return fail("bad dataWindow");
+        std::memcpy(&xmin, payload, 4);
+        std::memcpy(&ymin, payload + 4, 4);
+        std::memcpy(&xmax, payload + 8, 4);
+        std::memcpy(&ymax, payload + 12, 4);
+        *have_dw = true;
+      } else if (name == "compression") {
+        if (asize < 1) return fail("bad compression");
+        compression = payload[0];
+        *have_comp = true;
+      } else if (name == "tiles") {
+        if (asize < 9) return fail("bad tiles attribute");
+        uint32_t tw, th;
+        std::memcpy(&tw, payload, 4);
+        std::memcpy(&th, payload + 4, 4);
+        uint8_t mode = payload[8];
+        level_mode = mode & 0xF;
+        level_rounding = (mode >> 4) & 0xF;
+        if (level_mode > 2)
+          return fail("bad tiledesc level mode (0/1/2 expected)");
+        tile_w = (int)tw;
+        tile_h = (int)th;
+        *have_tiles = true;
+      }
+      pos += asize;
+    }
     return true;
   }
 
@@ -135,61 +211,48 @@ struct Reader {
     // 0x1000 multi-part
     tiled = (version & 0x200) != 0;
     if (version & 0x800) return fail("deep-data EXR not supported");
-    if (version & 0x1000) return fail("multi-part EXR not supported");
+    bool multipart = (version & 0x1000) != 0;
     bool have_tiles = false;
     size_t pos = 8;
     bool have_channels = false, have_dw = false, have_comp = false;
-    while (true) {
-      std::string name, type;
-      if (!read_cstr(pos, &name)) return fail("truncated header");
-      if (name.empty()) break;
-      if (!read_cstr(pos, &type)) return fail("truncated header");
-      if (pos + 4 > size) return fail("truncated header");
-      int32_t asize;
-      std::memcpy(&asize, data + pos, 4);
-      pos += 4;
-      if (asize < 0 || pos + (size_t)asize > size) return fail("bad attribute size");
-      const uint8_t* payload = data + pos;
-      if (name == "channels") {
-        size_t cpos = 0;
-        while (cpos < (size_t)asize && payload[cpos] != 0) {
-          Channel ch;
-          size_t s = cpos;
-          while (cpos < (size_t)asize && payload[cpos] != 0) ++cpos;
-          ch.name.assign((const char*)payload + s, cpos - s);
-          ++cpos;
-          if (cpos + 16 > (size_t)asize) return fail("bad chlist");
-          std::memcpy(&ch.pixel_type, payload + cpos, 4);
-          cpos += 16;  // pixel_type(4) + pLinear/reserved(4) + xSampling(4) + ySampling(4)
-          channels.push_back(ch);
-        }
-        have_channels = true;
-      } else if (name == "dataWindow") {
-        if (asize < 16) return fail("bad dataWindow");
-        std::memcpy(&xmin, payload, 4);
-        std::memcpy(&ymin, payload + 4, 4);
-        std::memcpy(&xmax, payload + 8, 4);
-        std::memcpy(&ymax, payload + 12, 4);
-        have_dw = true;
-      } else if (name == "compression") {
-        if (asize < 1) return fail("bad compression");
-        compression = payload[0];
-        have_comp = true;
-      } else if (name == "tiles") {
-        if (asize < 9) return fail("bad tiles attribute");
-        uint32_t tw, th;
-        std::memcpy(&tw, payload, 4);
-        std::memcpy(&th, payload + 4, 4);
-        uint8_t mode = payload[8];
-        level_mode = mode & 0xF;
-        level_rounding = (mode >> 4) & 0xF;
-        if (level_mode > 2)
-          return fail("bad tiledesc level mode (0/1/2 expected)");
-        tile_w = (int)tw;
-        tile_h = (int)th;
-        have_tiles = true;
+    if (!multipart) {
+      if (want_part != 0)
+        return fail("part selection on a single-part file");
+      int32_t cc = -1;
+      std::string ptype;
+      if (!parse_one_header(pos, true, &have_channels, &have_dw, &have_comp,
+                            &have_tiles, &cc, &ptype))
+        return false;
+    } else {
+      // headers back to back, list ended by an empty byte; then every
+      // part's chunk-offset table back to back in part order; chunks
+      // lead with a 4-byte part number
+      std::vector<int32_t> counts;
+      std::string sel_type;
+      int idx = 0;
+      while (pos < size && data[pos] != 0) {
+        bool rec = idx == want_part;
+        int32_t cc = -1;
+        std::string ptype;
+        if (!parse_one_header(pos, rec, &have_channels, &have_dw,
+                              &have_comp, &have_tiles, &cc, &ptype))
+          return false;
+        if (cc < 0) return fail("multi-part header missing chunkCount");
+        if (rec) sel_type = ptype;
+        counts.push_back(cc);
+        ++idx;
       }
-      pos += asize;
+      if (pos >= size) return fail("truncated multi-part header list");
+      ++pos;  // empty byte terminating the header list
+      n_parts = idx;
+      if (want_part >= idx) return fail("part index out of range");
+      if (sel_type == "deepscanline" || sel_type == "deeptile")
+        return fail("deep-data EXR part not supported");
+      tiled = sel_type == "tiledimage";  // per-part, not the version bit
+      for (int p = 0; p < want_part; ++p)
+        pos += (size_t)counts[p] * 8;
+      forced_chunks = counts[want_part];
+      chunk_prefix = 4;
     }
     if (!have_channels || !have_dw || !have_comp)
       return fail("missing required header attribute");
@@ -247,6 +310,8 @@ struct Reader {
     } else {
       n_chunks = (height + lines_per_chunk - 1) / lines_per_chunk;
     }
+    if (forced_chunks >= 0)  // multi-part: chunkCount attr is authoritative
+      n_chunks = forced_chunks;
     if (pos + (size_t)n_chunks * 8 > size) return fail("truncated offset table");
     chunk_offsets.resize(n_chunks);
     std::memcpy(chunk_offsets.data(), data + pos, (size_t)n_chunks * 8);
@@ -577,10 +642,17 @@ struct Reader {
     };
 
     if (tiled) {
-      for (int64_t off : chunk_offsets) {
-        // tile chunk: dx, dy, levelX, levelY, dataSize, payload
-        if (off < 0 || (size_t)off + 20 > size) {
+      for (int64_t raw_off : chunk_offsets) {
+        // tile chunk: [part(4) if multi-part] dx, dy, levelX, levelY,
+        // dataSize, payload
+        int64_t off = raw_off + chunk_prefix;
+        if (raw_off < 0 || (size_t)off + 20 > size) {
           error = "bad tile offset"; return -1;
+        }
+        if (chunk_prefix) {
+          int32_t pn;
+          std::memcpy(&pn, data + raw_off, 4);
+          if (pn != want_part) { error = "chunk part-number mismatch"; return -1; }
         }
         int32_t dx, dy, lx, ly, csize;
         std::memcpy(&dx, data + off, 4);
@@ -609,8 +681,14 @@ struct Reader {
       return finish();
     }
     for (size_t ci = 0; ci < chunk_offsets.size(); ++ci) {
-      int64_t off = chunk_offsets[ci];
-      if (off < 0 || (size_t)off + 8 > size) { error = "bad chunk offset"; return -1; }
+      int64_t raw_off = chunk_offsets[ci];
+      int64_t off = raw_off + chunk_prefix;
+      if (raw_off < 0 || (size_t)off + 8 > size) { error = "bad chunk offset"; return -1; }
+      if (chunk_prefix) {
+        int32_t pn;
+        std::memcpy(&pn, data + raw_off, 4);
+        if (pn != want_part) { error = "chunk part-number mismatch"; return -1; }
+      }
       int32_t y, csize;
       std::memcpy(&y, data + off, 4);
       std::memcpy(&csize, data + off + 4, 4);
@@ -667,9 +745,12 @@ void* pcss_exr_open(const uint8_t* data, int64_t size) {
   return r;
 }
 
-void* pcss_exr_open_file(const char* path) {
+// Open a file exposing one part of a (possibly multi-part) EXR by index.
+// Part 0 of a single-part file is the file itself.
+void* pcss_exr_open_file_part(const char* path, int part) {
   FILE* f = std::fopen(path, "rb");
   auto* r = new Reader();
+  r->want_part = part;
   if (!f) {
     r->fail("cannot open file");
     r->width = -1;
@@ -688,6 +769,15 @@ void* pcss_exr_open_file(const char* path) {
     r->width = -1;
   }
   return r;
+}
+
+void* pcss_exr_open_file(const char* path) {
+  return pcss_exr_open_file_part(path, 0);
+}
+
+// Number of parts in the opened file (1 for single-part).
+int pcss_exr_num_parts(void* h) {
+  return ((Reader*)h)->n_parts;
 }
 
 int pcss_exr_dims(void* h, int* width, int* height) {

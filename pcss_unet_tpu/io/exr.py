@@ -74,6 +74,12 @@ def _load_native():
             return None
         lib.pcss_exr_open_file.restype = ctypes.c_void_p
         lib.pcss_exr_open_file.argtypes = [ctypes.c_char_p]
+        if hasattr(lib, "pcss_exr_open_file_part"):
+            lib.pcss_exr_open_file_part.restype = ctypes.c_void_p
+            lib.pcss_exr_open_file_part.argtypes = [ctypes.c_char_p,
+                                                    ctypes.c_int]
+            lib.pcss_exr_num_parts.restype = ctypes.c_int
+            lib.pcss_exr_num_parts.argtypes = [ctypes.c_void_p]
         lib.pcss_exr_dims.restype = ctypes.c_int
         lib.pcss_exr_dims.argtypes = [ctypes.c_void_p,
                                       ctypes.POINTER(ctypes.c_int),
@@ -113,11 +119,16 @@ def _load_native():
         return _lib
 
 
-def _read_channels_native(path: str, names: Sequence[str]):
+def _read_channels_native(path: str, names: Sequence[str], part: int = 0):
     lib = _load_native()
     if lib is None:
         return None
-    handle = lib.pcss_exr_open_file(path.encode())
+    if part and not hasattr(lib, "pcss_exr_open_file_part"):
+        return None  # pre-multi-part .so
+    if part:
+        handle = lib.pcss_exr_open_file_part(path.encode(), part)
+    else:
+        handle = lib.pcss_exr_open_file(path.encode())
     try:
         w = ctypes.c_int()
         h = ctypes.c_int()
@@ -175,23 +186,26 @@ def read_exr_channels(path: str, names: Sequence[str],
 
     ``part`` selects a part of a multi-part file by index or name
     (default 0, which is also what the reference's ``OpenEXR.InputFile``
-    exposes — setdata.py:42).  Non-default parts route to the Python
-    codec directly; the native codec is single-part."""
+    exposes — setdata.py:42).  The native codec reads parts by index;
+    by-name selection resolves the index through a header-only Python
+    parse first."""
     if not os.path.exists(path):
         raise IOError(f"EXR file does not exist: {path}")
-    if part != 0:
-        return exr_py.read_exr_channels_py(path, list(names), part=part)
     if os.environ.get("PCSS_EXR_BACKEND") != "python":
         try:
-            result = _read_channels_native(path, names)
-        except IOError as e:
+            idx = part
+            if isinstance(idx, str):
+                with open(path, "rb") as f:  # header-only name resolution
+                    idx = exr_py.ExrFile(f.read(), part=part).part_names.index(idx)
+            result = _read_channels_native(path, names, part=idx)
+        except (IOError, ValueError) as e:
             # fall back for files the native codec rejects (the pure-Python
             # twin may still support them, or give a clearer error)
             logging.debug("native EXR decode failed (%s); trying python", e)
             result = None
         if result is not None:
             return result
-    return exr_py.read_exr_channels_py(path, list(names))
+    return exr_py.read_exr_channels_py(path, list(names), part=part)
 
 
 def read_exr(path: str) -> list[np.ndarray]:

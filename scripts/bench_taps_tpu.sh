@@ -1,0 +1,17 @@
+#!/bin/sh
+# One-shot TPU measurement session for the tap-strategy work:
+#   1. per-stage kernel A/B (plain taps / stack_taps / acc_shift)
+#   2. end-to-end headline under each strategy (bench.py)
+#   3. trimmed w16 net at 2K under the best strategy
+# Writes JSON lines to logs/taps_tpu_$(date +%s).jsonl
+set -e
+cd "$(dirname "$0")/.."
+OUT="logs/taps_tpu_$(date +%s).jsonl"
+mkdir -p logs
+echo "== per-stage kernel A/B ==" | tee -a "$OUT"
+timeout 1200 python scripts/bench_convblock.py | tee -a "$OUT"
+for S in stack acc_shift; do
+  echo "== bench.py PCSS_CONVBLOCK_TAPS=$S ==" | tee -a "$OUT"
+  PCSS_CONVBLOCK_TAPS=$S timeout 1800 python bench.py | tee -a "$OUT"
+done
+echo "wrote $OUT"

@@ -778,8 +778,9 @@ def test_multipart_defaults_to_part0(tmp_path, rng):
 
 
 def test_multipart_dispatcher_falls_back(tmp_path, rng, monkeypatch):
-    """With the native backend preferred, a multi-part file must still
-    read through the dispatcher (native rejects 0x1000, python decodes)."""
+    """With the native backend preferred, a multi-part file reads through
+    the dispatcher (natively since round 3; the python twin remains the
+    fallback and oracle)."""
     monkeypatch.delenv("PCSS_EXR_BACKEND", raising=False)
     parts = _three_parts(rng)
     path = str(tmp_path / "mpd.exr")
@@ -884,3 +885,65 @@ def test_native_one_pass_matches_per_channel(tmp_path, rng, comp):
                 np.testing.assert_array_equal(buf, chans[name])
     finally:
         lib.pcss_exr_close(hdl)
+
+
+@pytest.mark.parametrize("tile", [None, (16, 16)])
+def test_multipart_native_matches_python(tmp_path, rng, tile):
+    """Native multi-part decode (pcss_exr_open_file_part) returns exactly
+    the Python codec's planes for every part, scanline and tiled."""
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "pcss_exr_open_file_part"):
+        pytest.skip("native multi-part unavailable")
+    from pcss_unet_tpu.io.exr import _read_channels_native
+
+    parts = _three_parts(rng, h=27, w=35) if tile is None else \
+        _three_parts(rng, h=40, w=56)
+    path = str(tmp_path / "mpn.exr")
+    exr_py.write_exr_multipart_py(path, parts, tile_size=tile)
+    hdl = lib.pcss_exr_open_file_part(path.encode(), 0)
+    assert lib.pcss_exr_num_parts(hdl) == len(parts)
+    lib.pcss_exr_close(hdl)
+    for idx, (pname, chans) in enumerate(parts):
+        nat = _read_channels_native(path, list(chans), part=idx)
+        ref = exr_py.read_exr_channels_py(path, list(chans), part=idx)
+        for n in chans:
+            np.testing.assert_array_equal(nat[n], ref[n])
+            np.testing.assert_array_equal(nat[n], chans[n])
+        # by-name selection through the public dispatcher (native route)
+        disp = read_exr_channels(path, list(chans), part=pname)
+        for n in chans:
+            np.testing.assert_array_equal(disp[n], chans[n])
+
+
+def test_multipart_native_errors(tmp_path, rng):
+    """Native multi-part: out-of-range part and deep parts fail loudly."""
+    import ctypes
+    import struct as _struct
+
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "pcss_exr_open_file_part"):
+        pytest.skip("native multi-part unavailable")
+    parts = _three_parts(rng)
+    path = str(tmp_path / "mpne.exr")
+    exr_py.write_exr_multipart_py(path, parts)
+    hdl = lib.pcss_exr_open_file_part(path.encode(), 7)
+    w, h = ctypes.c_int(), ctypes.c_int()
+    assert lib.pcss_exr_dims(hdl, ctypes.byref(w), ctypes.byref(h)) != 0
+    assert b"out of range" in lib.pcss_exr_error(hdl)
+    lib.pcss_exr_close(hdl)
+    # patch part 1's type to deepscanline; selecting it must fail
+    data = bytearray(open(path, "rb").read())
+    old = b"type\x00string\x00" + _struct.pack("<i", 13) + b"scanlineimage"
+    new = b"type\x00string\x00" + _struct.pack("<i", 13) + b"deepscanline\x00"
+    idx = data.index(old, data.index(old) + 1)
+    data[idx:idx + len(old)] = new
+    open(path, "wb").write(bytes(data))
+    hdl = lib.pcss_exr_open_file_part(path.encode(), 1)
+    assert lib.pcss_exr_dims(hdl, ctypes.byref(w), ctypes.byref(h)) != 0
+    assert b"deep" in lib.pcss_exr_error(hdl)
+    lib.pcss_exr_close(hdl)
+    # part 0 of the patched file still reads natively
+    from pcss_unet_tpu.io.exr import _read_channels_native
+
+    out = _read_channels_native(path, ["R"], part=0)
+    np.testing.assert_array_equal(out["R"], parts[0][1]["R"])
