@@ -9,6 +9,7 @@ measured fps/chip divided by that.  Prints exactly ONE JSON line.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -42,7 +43,7 @@ def _device_reachable(attempts: int = 3, timeout_s: int = 240) -> bool:
 
 
 def main() -> None:
-    if not _device_reachable():
+    if os.environ.get("PCSS_BENCH_SMOKE") != "1" and not _device_reachable():
         print(json.dumps({
             "metric": "1080p_inference_frames_per_sec_per_chip",
             "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
@@ -77,16 +78,24 @@ def main() -> None:
     params = folded["params"]
     batch_stats = folded["batch_stats"]
 
-    h, w = 1088, 1920  # 1080p padded to ×16
+    # smoke knobs (CI/CPU): shrink the frame / scan without changing the
+    # measured configuration on real hardware (defaults = the real bench)
+    h = int(os.environ.get("PCSS_BENCH_H", 1088))
+    w = int(os.environ.get("PCSS_BENCH_W", 1920))
     rng = np.random.default_rng(0)
 
     best_fps = 0.0
     best_batch = 1
     best_impl = "plain"
-    for batch, scan_len, impl in ((1, 32, "fused_int8"), (1, 32, "fused"),
-                                  (1, 32, "plain"), (2, 16, "fused_int8"),
-                                  (4, 8, "fused_int8")):
+    best_taps = "stack"
+    # taps: fused-ConvBlock tap strategy (ops/pallas/convblock.py) — read
+    # from the env at trace time, so set it before each jit traces
+    for batch, scan_len, impl, taps in (
+            (1, 32, "fused_int8", "stack"), (1, 32, "fused_int8", "acc_shift"),
+            (1, 32, "fused", "stack"), (1, 32, "plain", "stack"),
+            (2, 16, "fused_int8", "stack"), (4, 8, "fused_int8", "stack")):
         model = models[impl]
+        os.environ["PCSS_CONVBLOCK_TAPS"] = taps
         try:
             # Streaming measurement: scan_len sequential forwards inside ONE
             # dispatch, each depending on the previous result (the +carry·ε
@@ -116,10 +125,14 @@ def main() -> None:
                 times.append(time.perf_counter() - t0)
             fps = batch * scan_len / float(np.median(times))
             if fps > best_fps:
-                best_fps, best_batch, best_impl = fps, batch, impl
+                best_fps, best_batch, best_impl, best_taps = (
+                    fps, batch, impl, taps)
         except Exception as e:  # noqa: BLE001 - e.g. HBM/VMEM exhausted
-            print(f"batch {batch} ({impl}) failed: {e}", file=sys.stderr)
+            print(f"batch {batch} ({impl},{taps}) failed: {e}",
+                  file=sys.stderr)
             continue
+        finally:
+            os.environ.pop("PCSS_CONVBLOCK_TAPS", None)
 
     result = {
         "metric": "1080p_inference_frames_per_sec_per_chip",
@@ -128,6 +141,7 @@ def main() -> None:
         "vs_baseline": round(best_fps / BASELINE_FPS_PER_CHIP, 3),
         "batch": best_batch,
         "impl": best_impl,
+        "taps": best_taps,
         "device": str(jax.devices()[0]),
         "dtype": "bfloat16",
         "frame": f"{w}x{h}",

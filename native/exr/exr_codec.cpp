@@ -72,6 +72,20 @@ inline float half_to_float(uint16_t h) {
   return f;
 }
 
+
+// 65536-entry half->float table: the per-pixel scalar conversion measured
+// ~3.6 ns/px (30 ms of a 1080p 4-channel HALF frame); one 256 KB table
+// turns it into a single indexed load.  C++11 magic statics make the lazy
+// init thread-safe (decodes run GIL-free on multiple threads).
+inline const float* half_lut() {
+  static const std::vector<float>* lut = [] {
+    auto* t = new std::vector<float>(65536);
+    for (int i = 0; i < 65536; ++i) (*t)[i] = half_to_float((uint16_t)i);
+    return t;
+  }();
+  return lut->data();
+}
+
 // float32 -> half with IEEE round-to-nearest-even (matches numpy's
 // .astype(float16), so both codecs write identical HALF bytes)
 inline uint16_t float_to_half(float f) {
@@ -407,7 +421,7 @@ struct Reader {
           for (int x = 0; x < bw; ++x) {
             uint32_t diff = ((uint32_t)p[x] << 8) | (uint32_t)p[bw + x];
             acc = (acc + diff) & 0xFFFFu;
-            row[x] = half_to_float((uint16_t)acc);
+            row[x] = half_lut()[(uint16_t)acc];
           }
         } else {
           uint32_t acc = 0;
@@ -512,7 +526,7 @@ struct Reader {
         for (int line = 0; line < bh; ++line) {
           float* row = dsts[k] + (size_t)(y0 + line) * width + x0;
           const uint16_t* src = b44_plane_.data() + (size_t)line * pw;
-          for (int x = 0; x < bw; ++x) row[x] = half_to_float(src[x]);
+          for (int x = 0; x < bw; ++x) row[x] = half_lut()[src[x]];
         }
       }
     }
@@ -600,7 +614,7 @@ struct Reader {
           std::memcpy(row, src, (size_t)bw * 4);
         } else if (pt == PT_HALF) {
           const uint16_t* hp = (const uint16_t*)src;
-          for (int x = 0; x < bw; ++x) row[x] = half_to_float(hp[x]);
+          for (int x = 0; x < bw; ++x) row[x] = half_lut()[hp[x]];
         } else {  // UINT
           const uint32_t* up = (const uint32_t*)src;
           for (int x = 0; x < bw; ++x) row[x] = (float)up[x];
