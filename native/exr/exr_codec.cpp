@@ -7,9 +7,9 @@
 //   - single-part tiled files, all level modes (ONE_LEVEL decoded in full;
 //     MIPMAP/RIPMAP decode the full-resolution level 0, skipping the
 //     low-res pyramid levels — the plane OpenEXR bindings expose)
-//   - compression NONE(0), RLE(1), ZIPS(2), ZIP(3), PIZ(4), PXR24(5);
-//     B44(6)/B44A(7)/DWAA(8)/DWAB(9) decode-only (their encoders live in
-//     the Python twin; the dispatcher falls back for writes)
+//   - compression NONE(0), RLE(1), ZIPS(2), ZIP(3), PIZ(4), PXR24(5),
+//     B44(6), B44A(7) encode+decode; DWAA(8)/DWAB(9) decode-only (their
+//     encoder lives in the Python twin; the dispatcher falls back)
 //   - pixel types UINT(0), HALF(1), FLOAT(2)
 //   - INCREASING_Y line order
 // Exposed as a C ABI consumed via ctypes (pcss_unet_tpu/io/exr.py).  The
@@ -834,6 +834,64 @@ void pcss_exr_close(void* h) {
   delete (Reader*)h;
 }
 
+// B44 4x4 block encode: ``t`` holds the 16 forward-transformed codes
+// (row-major).  Mirrors the Python encoder (io/b44.py) exactly — smallest
+// shift whose chained deltas fit 6 bits with bounded reconstruction
+// error; quantizes against the *reconstructed* predecessor.  Returns 3
+// (flat, B44A only) or 14 bytes written to ``out``.
+static int b44_encode_block(const uint16_t* t, bool flat_ok, uint8_t* out) {
+  static const int kOrder[15][2] = {
+      {4, 0}, {8, 4}, {12, 8},
+      {1, 0}, {5, 4}, {9, 8}, {13, 12},
+      {2, 1}, {6, 5}, {10, 9}, {14, 13},
+      {3, 2}, {7, 6}, {11, 10}, {15, 14}};
+  uint16_t base = t[0];
+  out[0] = (uint8_t)(base >> 8);
+  out[1] = (uint8_t)(base & 0xFF);
+  if (flat_ok) {
+    bool flat = true;
+    for (int i = 1; i < 16; ++i)
+      if (t[i] != base) { flat = false; break; }
+    if (flat) { out[2] = 0xFC; return 3; }
+  }
+  int fields[16];
+  for (int shift = 0; shift <= 16; ++shift) {
+    int bias = 0x20 << shift;
+    int half = (1 << shift) >> 1;
+    int recon[16];
+    for (int i = 0; i < 16; ++i) recon[i] = t[i];
+    bool ok = true;
+    fields[0] = shift;
+    for (int i = 0; i < 15; ++i) {
+      int tgt = kOrder[i][0], pred = kOrder[i][1];
+      int diff = (int)t[tgt] - recon[pred] + bias;
+      int d = (diff + half) >> shift;
+      if (d < 0 || d > 0x3F) { ok = false; d = d < 0 ? 0 : 0x3F; }
+      recon[tgt] = (recon[pred] + (d << shift) - bias) & 0xFFFF;
+      fields[i + 1] = d;
+    }
+    if (ok) {
+      for (int i = 0; i < 16 && ok; ++i) {
+        int e = recon[i] - (int)t[i];
+        if (e < 0) e = -e;
+        if (e > half) ok = false;
+      }
+    }
+    if (ok || shift == 16) {  // shift 16 = safety net (accept clipped)
+      for (int g = 0; g < 4; ++g) {
+        uint8_t* q = out + 2 + g * 3;
+        int f0 = fields[g * 4], f1 = fields[g * 4 + 1];
+        int f2 = fields[g * 4 + 2], f3 = fields[g * 4 + 3];
+        q[0] = (uint8_t)((f0 << 2) | (f1 >> 4));
+        q[1] = (uint8_t)(((f1 & 0xF) << 4) | (f2 >> 2));
+        q[2] = (uint8_t)(((f2 & 0x3) << 6) | f3);
+      }
+      return 14;
+    }
+  }
+  return 14;  // unreachable
+}
+
 // Shared writer for scanline (tile_w == 0) and ONE_LEVEL tiled files.
 // Compresses one bw x bh block at (x0, y0) per chunk.
 static int write_impl(const char* path, const char* const* names,
@@ -842,13 +900,15 @@ static int write_impl(const char* path, const char* const* names,
                       int tile_h) {
   if (compression != COMP_NONE && compression != COMP_RLE &&
       compression != COMP_ZIPS && compression != COMP_ZIP &&
-      compression != COMP_PIZ && compression != COMP_PXR24)
+      compression != COMP_PIZ && compression != COMP_PXR24 &&
+      compression != COMP_B44 && compression != COMP_B44A)
     return -1;
   if (pixel_type != PT_HALF && pixel_type != PT_FLOAT) return -1;
   const bool tiled = tile_w > 0;
   if (tiled && tile_h <= 0) return -1;
   int lpc = (compression == COMP_ZIP || compression == COMP_PXR24) ? 16
-            : compression == COMP_PIZ                              ? 32
+            : (compression == COMP_PIZ || compression == COMP_B44 ||
+               compression == COMP_B44A)                           ? 32
                                                                    : 1;
   int psz = pixel_size(pixel_type);
 
@@ -976,6 +1036,51 @@ static int write_impl(const char* path, const char* const* names,
                     transformed.size(), Z_DEFAULT_COMPRESSION) != Z_OK)
         return -2;
       payload->assign((const char*)comp_buf.data(), clen);
+    } else if (compression == COMP_B44 || compression == COMP_B44A) {
+      // HALF planes as 4x4 14-byte (3-byte flat, B44A) blocks; FLOAT
+      // stored verbatim planar.  The standard didn't-shrink rule at the
+      // end stores raw interleaved instead (all-FLOAT chunks hit it).
+      payload->clear();
+      if (pixel_type == PT_FLOAT) {
+        for (int k = 0; k < n; ++k)
+          for (int line = 0; line < bh; ++line)
+            payload->append(
+                (const char*)(chans[k] + (size_t)(y0 + line) * width + x0),
+                (size_t)bw * 4);
+      } else {
+        int hb = (bh + 3) / 4, wb = (bw + 3) / 4;
+        int pw = wb * 4, ph = hb * 4;
+        std::vector<uint16_t> tp((size_t)ph * pw);
+        for (int k = 0; k < n; ++k) {
+          // forward-transformed padded plane (edge replication)
+          for (int iy = 0; iy < ph; ++iy) {
+            int sy = iy < bh ? iy : bh - 1;
+            const float* src = chans[k] + (size_t)(y0 + sy) * width + x0;
+            for (int ix = 0; ix < pw; ++ix) {
+              int sx = ix < bw ? ix : bw - 1;
+              uint16_t hbits = float_to_half(src[sx]);
+              uint16_t v;
+              if ((hbits & 0x7C00) == 0x7C00) v = 0x8000;  // Inf/NaN -> +0
+              else if (hbits & 0x8000) v = (uint16_t)(~hbits & 0xFFFF);
+              else v = (uint16_t)(hbits | 0x8000);
+              tp[(size_t)iy * pw + ix] = v;
+            }
+          }
+          for (int by = 0; by < hb; ++by)
+            for (int bx = 0; bx < wb; ++bx) {
+              uint16_t blk[16];
+              for (int iy = 0; iy < 4; ++iy)
+                for (int ix = 0; ix < 4; ++ix)
+                  blk[iy * 4 + ix] =
+                      tp[(size_t)(by * 4 + iy) * pw + bx * 4 + ix];
+              uint8_t enc[14];
+              int nb = b44_encode_block(blk, compression == COMP_B44A, enc);
+              payload->append((const char*)enc, nb);
+            }
+        }
+      }
+      if (payload->size() >= rows.size())  // didn't shrink: store raw
+        payload->assign((const char*)rows.data(), rows.size());
     } else if (compression == COMP_NONE) {
       payload->assign((const char*)rows.data(), rows.size());
     } else if (compression == COMP_RLE) {

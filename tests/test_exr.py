@@ -947,3 +947,56 @@ def test_multipart_native_errors(tmp_path, rng):
 
     out = _read_channels_native(path, ["R"], part=0)
     np.testing.assert_array_equal(out["R"], parts[0][1]["R"])
+
+
+@pytest.mark.parametrize("comp", [exr_py.COMP_B44, exr_py.COMP_B44A])
+@pytest.mark.parametrize("pt", [PT_HALF, PT_FLOAT])
+def test_b44_native_encode(tmp_path, rng, comp, pt):
+    """Native B44/B44A encode (round 3): the C++ writer produces files both
+    decoders read identically, byte-identical to the Python encoder's
+    output (same block quantization decisions)."""
+    lib = _load_native()
+    if lib is None:
+        pytest.skip("native EXR codec unavailable")
+    from pcss_unet_tpu.io.exr import _read_channels_native
+
+    h, w = 37, 53  # partial edge blocks + partial last chunk
+    smooth = _smooth_rgbaz(rng, h, w)
+    chans = {"B": smooth["B"],
+             "G": np.full((h, w), 0.25, np.float32),  # flat blocks (B44A)
+             "R": smooth["R"]}
+    p_nat = str(tmp_path / "nat.exr")
+    p_py = str(tmp_path / "py.exr")
+    os.environ["PCSS_EXR_BACKEND"] = "native"
+    try:
+        write_exr(p_nat, chans, compression=comp, pixel_type=pt)
+    finally:
+        os.environ.pop("PCSS_EXR_BACKEND")
+    exr_py.write_exr_py(p_py, chans, compression=comp, pixel_type=pt)
+    assert open(p_nat, "rb").read() == open(p_py, "rb").read()
+    nat = _read_channels_native(p_nat, list(chans))
+    ref = exr_py.read_exr_channels_py(p_nat, list(chans))
+    for n in chans:
+        np.testing.assert_array_equal(nat[n], ref[n])
+        if pt == PT_FLOAT:  # FLOAT stored verbatim (raw fallback)
+            np.testing.assert_array_equal(nat[n], chans[n])
+        else:  # smooth content: a few half-ULPs (test_b44_roundtrip_smooth)
+            ref16 = chans[n].astype(np.float16).astype(np.float32)
+            assert float(np.abs(nat[n] - ref16).max()) < 0.01, n
+
+
+def test_b44_native_encode_tiled(tmp_path, rng):
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "pcss_exr_write_tiled"):
+        pytest.skip("native tiled write unavailable")
+    chans = {"R": _smooth_rgbaz(rng, 40, 56)["R"]}
+    p = str(tmp_path / "t.exr")
+    os.environ["PCSS_EXR_BACKEND"] = "native"
+    try:
+        write_exr(p, chans, compression=exr_py.COMP_B44, pixel_type=PT_HALF,
+                  tile_size=(16, 16))
+    finally:
+        os.environ.pop("PCSS_EXR_BACKEND")
+    out = exr_py.read_exr_channels_py(p, ["R"])
+    ref16 = chans["R"].astype(np.float16).astype(np.float32)
+    assert float(np.abs(out["R"] - ref16).max()) < 0.01
