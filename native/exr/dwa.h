@@ -217,6 +217,275 @@ inline bool inflate_to(const uint8_t* src, size_t n, size_t expected,
   return true;
 }
 
+// half bits (linear) -> half bits (nonlinear x^(1/2.2)) — encoder-side
+// twin of to_linear_lut, matching io/dwa.py _lut_nonlinear.
+inline const uint16_t* to_nonlinear_lut(float (*half_to_float_fn)(uint16_t),
+                                        uint16_t (*float_to_half_fn)(float)) {
+  static std::vector<uint16_t> lut;
+  if (lut.empty()) {
+    lut.resize(65536);
+    for (uint32_t b = 0; b < 65536; ++b) {
+      float f = half_to_float_fn((uint16_t)b);
+      if (!std::isfinite(f)) {
+        lut[b] = (uint16_t)b;
+        continue;
+      }
+      float s = f > 0.f ? 1.f : f < 0.f ? -1.f : 0.f;
+      lut[b] = float_to_half_fn(s * std::pow(std::fabs(f), 1.0f / 2.2f));
+    }
+  }
+  return lut.data();
+}
+
+// ZIP reorder+delta byte transform (DC segment; mirror of the codec's).
+inline void do_zip_transform(const uint8_t* src, size_t n,
+                             std::vector<uint8_t>* out) {
+  out->resize(n);
+  uint8_t* t1 = out->data();
+  uint8_t* t2 = out->data() + (n + 1) / 2;
+  for (size_t i = 0; i < n; ++i)
+    (i & 1 ? *t2++ : *t1++) = src[i];
+  uint8_t prev = n ? (*out)[0] : 0;
+  for (size_t i = 1; i < n; ++i) {
+    uint8_t cur = (*out)[i];
+    (*out)[i] = (uint8_t)((int)cur - (int)prev + 128);
+    prev = cur;
+  }
+}
+
+// EXR RLE encode (same scheme the scanline writer uses).
+inline void rle_encode(const uint8_t* d, size_t n, std::string* enc) {
+  enc->clear();
+  enc->reserve(n);
+  size_t i = 0;
+  while (i < n) {
+    size_t run = 1;
+    while (i + run < n && d[i + run] == d[i] && run < 127) ++run;
+    if (run >= 3) {
+      enc->push_back((char)(run - 1));
+      enc->push_back((char)d[i]);
+      i += run;
+    } else {
+      size_t start = i;
+      while (i < n && i - start < 127 &&
+             !(i + 2 < n && d[i] == d[i + 1] && d[i] == d[i + 2]))
+        ++i;
+      enc->push_back((char)(256 - (i - start)));
+      enc->append((const char*)d + start, i - start);
+    }
+  }
+}
+
+inline bool deflate_to(const uint8_t* src, size_t n, std::string* out) {
+  uLongf clen = compressBound(n);
+  std::vector<uint8_t> buf(clen);
+  if (compress2(buf.data(), &clen, src, n, Z_DEFAULT_COMPRESSION) != Z_OK)
+    return false;
+  out->assign((const char*)buf.data(), clen);
+  return true;
+}
+
+// Round a DCT coefficient to the coarsest-mantissa half within its error
+// budget (zero when |c| <= err) — mirrors io/dwa.py
+// _quantize_to_sparse_half including the uint16 wrap semantics.
+inline uint16_t quantize_sparse_half(float c, float err,
+                                     float (*h2f)(uint16_t),
+                                     uint16_t (*f2h)(float)) {
+  if (std::fabs(c) <= err) return 0;
+  uint16_t bits = f2h(c);
+  for (int keep = 0; keep < 10; ++keep) {
+    int drop = 10 - keep;
+    uint32_t mask = ~((1u << drop) - 1);
+    uint16_t cand = (uint16_t)(((uint32_t)bits + (1u << (drop - 1))) & mask);
+    if (std::fabs(h2f(cand) - c) <= err) return cand;
+  }
+  return bits;
+}
+
+// 63 zig-zag AC halfs -> tokens (nonzero verbatim, zero runs 0xff00|run).
+inline void rle_ac(const uint16_t* q, std::vector<uint16_t>* out) {
+  int prev = 0;
+  for (int idx = 0; idx < 63; ++idx) {
+    if (!q[idx]) continue;
+    int run = idx - prev;
+    while (run > 0) {
+      int r = run > 255 ? 255 : run;
+      out->push_back((uint16_t)(0xFF00 | r));
+      run -= r;
+    }
+    out->push_back(q[idx]);
+    prev = idx + 1;
+  }
+  int run = 63 - prev;
+  while (run > 0) {
+    int r = run > 255 ? 255 : run;
+    out->push_back((uint16_t)(0xFF00 | r));
+    run -= r;
+  }
+}
+
+// Encode one DWA chunk (header version 1, default channel rules).
+// ``planes``: chlist-ordered [n_lines * width] float32 (row stride =
+// width).  ``level`` is the DWA compression level (default 45).
+inline bool compress(const std::vector<const float*>& planes,
+                     const std::vector<Chan>& channels, int width,
+                     int n_lines, float level, std::string* out,
+                     std::string* err,
+                     float (*h2f)(uint16_t), uint16_t (*f2h)(float)) {
+  std::vector<int> schemes;
+  std::vector<std::vector<int>> csc;
+  classify(channels, &schemes, &csc);
+  auto order = plane_order(channels, schemes, csc);
+  float base_err = level / 100000.0f;
+
+  const float* C = dct_basis();
+  const int* zz = zigzag();
+  const uint16_t* nl_lut = to_nonlinear_lut(h2f, f2h);
+
+  int nbx = (width + 7) / 8, nby = (n_lines + 7) / 8;
+  size_t blocks_per_plane = (size_t)nbx * nby;
+  size_t npix = (size_t)width * n_lines;
+  int pw = nbx * 8, ph = nby * 8;
+
+  std::vector<uint16_t> dc_all;
+  std::vector<uint16_t> ac_tokens;
+  std::string rle_bytes, unknown;
+
+  // nonlinearize into an 8-aligned edge-replicated canvas
+  auto nonlinearize = [&](const float* src, std::vector<float>* dst) {
+    dst->resize((size_t)ph * pw);
+    for (int y = 0; y < ph; ++y) {
+      int sy = y < n_lines ? y : n_lines - 1;
+      const float* row = src + (size_t)sy * width;
+      float* drow = dst->data() + (size_t)y * pw;
+      for (int x = 0; x < pw; ++x) {
+        int sx = x < width ? x : width - 1;
+        drow[x] = h2f(nl_lut[f2h(row[sx])]);
+      }
+    }
+  };
+
+  std::vector<std::vector<float>> group;
+  for (const auto& idxs : order) {
+    group.assign(idxs.size(), {});
+    for (size_t pi = 0; pi < idxs.size(); ++pi)
+      nonlinearize(planes[idxs[pi]], &group[pi]);
+    if (idxs.size() == 3) {  // Rec.709 forward CSC (nonlinear domain)
+      float* R = group[0].data();
+      float* G = group[1].data();
+      float* B = group[2].data();
+      for (size_t i = 0; i < group[0].size(); ++i) {
+        float r = R[i], g = G[i], b = B[i];
+        float y = 0.2126f * r + 0.7152f * g + 0.0722f * b;
+        R[i] = y;
+        G[i] = (b - y) / 1.8556f;
+        B[i] = (r - y) / 1.5748f;
+      }
+    }
+    for (auto& plane : group) {
+      for (size_t b = 0; b < blocks_per_plane; ++b) {
+        int by = (int)(b / nbx), bx = (int)(b % nbx);
+        const float* src = plane.data() + (size_t)by * 8 * pw + bx * 8;
+        // forward 8x8 DCT: coef[k][l] = sum_y sum_x C[k,y] B[y,x] C[l,x]
+        float tmp[64], coef[64];
+        for (int k = 0; k < 8; ++k)
+          for (int x = 0; x < 8; ++x) {
+            float acc = 0.f;
+            for (int y = 0; y < 8; ++y)
+              acc += C[k * 8 + y] * src[(size_t)y * pw + x];
+            tmp[k * 8 + x] = acc;
+          }
+        for (int k = 0; k < 8; ++k)
+          for (int l = 0; l < 8; ++l) {
+            float acc = 0.f;
+            for (int x = 0; x < 8; ++x) acc += tmp[k * 8 + x] * C[l * 8 + x];
+            coef[k * 8 + l] = acc;
+          }
+        uint16_t q[64];
+        for (int j = 0; j < 64; ++j)
+          q[j] = quantize_sparse_half(coef[zz[j]],
+                                      base_err * (1.0f + 0.35f * j),
+                                      h2f, f2h);
+        dc_all.push_back(q[0]);
+        rle_ac(q + 1, &ac_tokens);
+      }
+    }
+  }
+
+  for (size_t i = 0; i < channels.size(); ++i) {
+    if (schemes[i] == SCHEME_RLE) {
+      std::string lo(npix, '\0'), hi(npix, '\0');
+      for (size_t p = 0; p < npix; ++p) {
+        uint16_t v = f2h(planes[i][p]);
+        lo[p] = (char)(v & 0xFF);
+        hi[p] = (char)(v >> 8);
+      }
+      rle_bytes += lo;
+      rle_bytes += hi;
+    } else if (schemes[i] == SCHEME_UNKNOWN) {
+      if (channels[i].pixel_type == kPtHalf) {
+        for (size_t p = 0; p < npix; ++p) {
+          uint16_t v = f2h(planes[i][p]);
+          unknown.append((const char*)&v, 2);
+        }
+      } else if (channels[i].pixel_type == 2) {  // FLOAT verbatim
+        unknown.append((const char*)planes[i], npix * 4);
+      } else {  // UINT
+        for (size_t p = 0; p < npix; ++p) {
+          uint32_t v = (uint32_t)planes[i][p];
+          unknown.append((const char*)&v, 4);
+        }
+      }
+    }
+  }
+
+  std::string unknown_z, ac_z, dc_z, rle_z, rle_rle;
+  if (!unknown.empty() &&
+      !deflate_to((const uint8_t*)unknown.data(), unknown.size(),
+                  &unknown_z)) {
+    *err = "DWA: deflate failed";
+    return false;
+  }
+  if (!ac_tokens.empty() &&
+      !piz::huf_compress(ac_tokens.data(), ac_tokens.size(), &ac_z)) {
+    *err = "DWA: AC huffman encode failed";
+    return false;
+  }
+  if (!dc_all.empty()) {
+    std::vector<uint8_t> dct;
+    do_zip_transform((const uint8_t*)dc_all.data(), dc_all.size() * 2, &dct);
+    if (!deflate_to(dct.data(), dct.size(), &dc_z)) {
+      *err = "DWA: deflate failed";
+      return false;
+    }
+  }
+  if (!rle_bytes.empty()) {
+    rle_encode((const uint8_t*)rle_bytes.data(), rle_bytes.size(), &rle_rle);
+    if (!deflate_to((const uint8_t*)rle_rle.data(), rle_rle.size(), &rle_z)) {
+      *err = "DWA: deflate failed";
+      return false;
+    }
+  }
+
+  uint64_t hdr[11] = {1,
+                      (uint64_t)unknown.size(),
+                      (uint64_t)unknown_z.size(),
+                      (uint64_t)ac_z.size(),
+                      (uint64_t)dc_z.size(),
+                      (uint64_t)rle_z.size(),
+                      (uint64_t)rle_rle.size(),
+                      (uint64_t)rle_bytes.size(),
+                      (uint64_t)ac_tokens.size(),
+                      (uint64_t)dc_all.size(),
+                      kAcStaticHuffman};
+  out->assign((const char*)hdr, 88);
+  *out += unknown_z;
+  *out += ac_z;
+  *out += dc_z;
+  *out += rle_z;
+  return true;
+}
+
 // Decode one DWA chunk: every channel -> [n_lines * width] float32 planes
 // in chlist order.  half conversion functions are injected from the codec
 // so both share one rounding implementation.

@@ -7,9 +7,9 @@
 //   - single-part tiled files, all level modes (ONE_LEVEL decoded in full;
 //     MIPMAP/RIPMAP decode the full-resolution level 0, skipping the
 //     low-res pyramid levels — the plane OpenEXR bindings expose)
-//   - compression NONE(0), RLE(1), ZIPS(2), ZIP(3), PIZ(4), PXR24(5),
-//     B44(6), B44A(7) encode+decode; DWAA(8)/DWAB(9) decode-only (their
-//     encoder lives in the Python twin; the dispatcher falls back)
+//   - ALL ten compression schemes encode+decode: NONE(0), RLE(1),
+//     ZIPS(2), ZIP(3), PIZ(4), PXR24(5), B44(6), B44A(7), DWAA(8),
+//     DWAB(9)
 //   - pixel types UINT(0), HALF(1), FLOAT(2)
 //   - INCREASING_Y line order
 // Exposed as a C ABI consumed via ctypes (pcss_unet_tpu/io/exr.py).  The
@@ -901,15 +901,17 @@ static int write_impl(const char* path, const char* const* names,
   if (compression != COMP_NONE && compression != COMP_RLE &&
       compression != COMP_ZIPS && compression != COMP_ZIP &&
       compression != COMP_PIZ && compression != COMP_PXR24 &&
-      compression != COMP_B44 && compression != COMP_B44A)
+      compression != COMP_B44 && compression != COMP_B44A &&
+      compression != COMP_DWAA && compression != COMP_DWAB)
     return -1;
   if (pixel_type != PT_HALF && pixel_type != PT_FLOAT) return -1;
   const bool tiled = tile_w > 0;
   if (tiled && tile_h <= 0) return -1;
   int lpc = (compression == COMP_ZIP || compression == COMP_PXR24) ? 16
             : (compression == COMP_PIZ || compression == COMP_B44 ||
-               compression == COMP_B44A)                           ? 32
-                                                                   : 1;
+               compression == COMP_B44A || compression == COMP_DWAA) ? 32
+            : compression == COMP_DWAB                               ? 256
+                                                                     : 1;
   int psz = pixel_size(pixel_type);
 
   std::string header;
@@ -1036,6 +1038,27 @@ static int write_impl(const char* path, const char* const* names,
                     transformed.size(), Z_DEFAULT_COMPRESSION) != Z_OK)
         return -2;
       payload->assign((const char*)comp_buf.data(), clen);
+    } else if (compression == COMP_DWAA || compression == COMP_DWAB) {
+      // DWA encode (dwa.h): contiguous per-channel f32 block planes in
+      // chlist order; default channel rules, level 45, header version 1.
+      std::vector<dwa::Chan> dchans(n);
+      std::vector<std::vector<float>> dplanes(n);
+      std::vector<const float*> dptrs(n);
+      for (int k = 0; k < n; ++k) {
+        dchans[k] = {names[k], pixel_type};
+        dplanes[k].resize((size_t)bw * bh);
+        for (int line = 0; line < bh; ++line)
+          std::memcpy(dplanes[k].data() + (size_t)line * bw,
+                      chans[k] + (size_t)(y0 + line) * width + x0,
+                      (size_t)bw * 4);
+        dptrs[k] = dplanes[k].data();
+      }
+      std::string derr;
+      if (!dwa::compress(dptrs, dchans, bw, bh, 45.0f, payload, &derr,
+                         half_to_float, float_to_half))
+        return -2;
+      if (payload->size() >= rows.size())  // didn't shrink: store raw
+        payload->assign((const char*)rows.data(), rows.size());
     } else if (compression == COMP_B44 || compression == COMP_B44A) {
       // HALF planes as 4x4 14-byte (3-byte flat, B44A) blocks; FLOAT
       // stored verbatim planar.  The standard didn't-shrink rule at the

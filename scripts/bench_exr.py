@@ -35,8 +35,8 @@ from pcss_unet_tpu.io.exr import _load_native, _read_channels_native, write_exr 
 COMPS = {"none": exr_py.COMP_NONE, "rle": exr_py.COMP_RLE,
          "zips": exr_py.COMP_ZIPS, "zip": exr_py.COMP_ZIP,
          "piz": exr_py.COMP_PIZ, "pxr24": exr_py.COMP_PXR24,
-         "b44": exr_py.COMP_B44}
-PY_ONLY = {"dwaa": exr_py.COMP_DWAA}
+         "b44": exr_py.COMP_B44, "dwaa": exr_py.COMP_DWAA}
+PY_ONLY = {}
 
 
 def synth_frame(h: int, w: int) -> dict[str, np.ndarray]:

@@ -1000,3 +1000,54 @@ def test_b44_native_encode_tiled(tmp_path, rng):
     out = exr_py.read_exr_channels_py(p, ["R"])
     ref16 = chans["R"].astype(np.float16).astype(np.float32)
     assert float(np.abs(out["R"] - ref16).max()) < 0.01
+
+
+@pytest.mark.parametrize("comp", [exr_py.COMP_DWAA, exr_py.COMP_DWAB])
+def test_dwa_native_encode(tmp_path, rng, comp):
+    """Native DWA encode (round 3): C++-written DWAA/DWAB files decode in
+    BOTH codecs with the scheme's quality contract — DCT channels within
+    the error budget, RLE (alpha) and UNKNOWN channels lossless."""
+    lib = _load_native()
+    if lib is None:
+        pytest.skip("native EXR codec unavailable")
+    from pcss_unet_tpu.io.exr import _read_channels_native
+
+    h, w = 45, 61  # partial 8x8 blocks + partial chunk
+    chans = _smooth_rgbaz(rng, h, w)
+    del chans["Z"]  # uniform HALF write: R,G,B -> DCT(CSC), A -> RLE
+    path = str(tmp_path / "dwa_nat.exr")
+    os.environ["PCSS_EXR_BACKEND"] = "native"
+    try:
+        write_exr(path, chans, compression=comp, pixel_type=PT_HALF)
+    finally:
+        os.environ.pop("PCSS_EXR_BACKEND")
+    nat = _read_channels_native(path, list(chans))
+    ref = exr_py.read_exr_channels_py(path, list(chans))
+    for n in chans:
+        # both decoders agree on the same file (float-op rounding only)
+        np.testing.assert_allclose(nat[n], ref[n], atol=2e-3)
+    for n in ("R", "G", "B"):  # lossy within the x^(1/2.2)-domain budget
+        ref16 = chans[n].astype(np.float16).astype(np.float32)
+        assert float(np.abs(nat[n] - ref16).mean()) < 0.01, n
+    ref_a = chans["A"].astype(np.float16).astype(np.float32)
+    np.testing.assert_array_equal(nat["A"], ref_a)  # RLE path lossless
+
+
+def test_dwa_native_encode_float_unknown(tmp_path, rng):
+    """FLOAT channels classify UNKNOWN -> lossless deflate in the native
+    DWA encoder (python decoder cross-checks)."""
+    lib = _load_native()
+    if lib is None:
+        pytest.skip("native EXR codec unavailable")
+    chans = {"R": rng.standard_normal((20, 28)).astype(np.float32),
+             "depth": rng.standard_normal((20, 28)).astype(np.float32)}
+    path = str(tmp_path / "dwa_f.exr")
+    os.environ["PCSS_EXR_BACKEND"] = "native"
+    try:
+        write_exr(path, chans, compression=exr_py.COMP_DWAA,
+                  pixel_type=PT_FLOAT)
+    finally:
+        os.environ.pop("PCSS_EXR_BACKEND")
+    out = exr_py.read_exr_channels_py(path, list(chans))
+    for n in chans:
+        np.testing.assert_array_equal(out[n], chans[n])
