@@ -1,0 +1,94 @@
+"""Crash-safety fuzz of the native EXR codec.
+
+The native decoder runs GIL-free inside data-loader threads; a segfault
+on a corrupt file would take the whole training process down, so every
+malformed input must surface as a clean Python-level error.  A bounded,
+deterministic corpus (truncations + byte flips of valid files across the
+compression schemes, scanline/tiled/multi-part) is decoded in ONE child
+process so an abort/segv is detected as a crash (nonzero exit, with the
+offending case in its stdout tail) rather than killing the test runner.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from pcss_unet_tpu.io import exr_py
+from pcss_unet_tpu.io.exr import _load_native, write_exr
+
+_CHILD = r"""
+import glob
+import sys
+from pcss_unet_tpu.io.exr import _read_channels_native
+for path in sorted(glob.glob(sys.argv[1] + "/fuzz_*.exr")):
+    print(path, flush=True)   # last printed line identifies a crash case
+    try:
+        _read_channels_native(path, ["R", "G", "B", "A"], part=0)
+    except Exception:
+        pass  # clean error = pass
+print("ALL_OK")
+"""
+
+
+def _make_corpus(tmp_path, rng):
+    h, w = 24, 40
+    chans = {n: rng.standard_normal((h, w)).astype(np.float32)
+             for n in ("R", "G", "B", "A")}
+    paths = []
+    for comp in (exr_py.COMP_NONE, exr_py.COMP_RLE, exr_py.COMP_ZIP,
+                 exr_py.COMP_PIZ, exr_py.COMP_PXR24, exr_py.COMP_B44A,
+                 exr_py.COMP_DWAA):
+        p = str(tmp_path / f"c{comp}.exr")
+        write_exr(p, chans, compression=comp)
+        paths.append(p)
+    p = str(tmp_path / "tiled.exr")
+    write_exr(p, chans, compression=exr_py.COMP_ZIP, tile_size=(16, 16))
+    paths.append(p)
+    p = str(tmp_path / "mp.exr")
+    exr_py.write_exr_multipart_py(
+        p, [("a", {"R": chans["R"]}), ("b", {"Z": chans["G"]})])
+    paths.append(p)
+    return paths
+
+
+def test_native_decode_survives_corruption(tmp_path, rng):
+    if _load_native() is None:
+        pytest.skip("native EXR codec unavailable")
+    paths = _make_corpus(tmp_path, rng)
+    frng = np.random.default_rng(1234)
+    n_cases = 0
+    for src in paths:
+        data = open(src, "rb").read()
+        cases = []
+        # truncations: header region, offset table, mid-payload
+        for frac in (0.02, 0.1, 0.35, 0.7, 0.95):
+            cases.append(data[: int(len(data) * frac)])
+        # byte flips (3 per case; deterministic)
+        for _ in range(6):
+            b = bytearray(data)
+            for _ in range(3):
+                i = int(frng.integers(0, len(b)))
+                b[i] ^= int(frng.integers(1, 256))
+            cases.append(bytes(b))
+        # length-field sabotage: overwrite 4-byte words early in the file
+        for off in (8, 64, 200):
+            if off + 4 <= len(data):
+                b = bytearray(data)
+                b[off:off + 4] = b"\xff\xff\xff\x7f"
+                cases.append(bytes(b))
+        tag = os.path.basename(src).split(".")[0]
+        for j, payload in enumerate(cases):
+            with open(tmp_path / f"fuzz_{tag}_{j:02d}.exr", "wb") as f:
+                f.write(payload)
+            n_cases += 1
+    assert n_cases >= 100
+    p = subprocess.run(
+        [sys.executable, "-c", _CHILD, str(tmp_path)],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert p.returncode == 0 and "ALL_OK" in p.stdout, (
+        f"native decode crashed (rc={p.returncode}) on case: "
+        f"{p.stdout.strip().splitlines()[-1:] or '?'}\n{p.stderr[-500:]}")
