@@ -892,12 +892,24 @@ static int b44_encode_block(const uint16_t* t, bool flat_ok, uint8_t* out) {
   return 14;  // unreachable
 }
 
-// Shared writer for scanline (tile_w == 0) and ONE_LEVEL tiled files.
-// Compresses one bw x bh block at (x0, y0) per chunk.
-static int write_impl(const char* path, const char* const* names,
-                      const float* const* chans, int n, int width, int height,
-                      int compression, int pixel_type, int tile_w,
-                      int tile_h) {
+static void append_attr(std::string* header, const char* aname,
+                        const char* atype, const std::string& payload) {
+  *header += aname; header->push_back(0);
+  *header += atype; header->push_back(0);
+  int32_t len = (int32_t)payload.size();
+  header->append((const char*)&len, 4);
+  *header += payload;
+}
+
+// Build one part's header attributes (NO terminating empty name) and its
+// compressed chunks — the shared engine behind the single- and multi-part
+// writers.  Scanline when tile_w == 0, ONE_LEVEL tiled otherwise.
+static int prep_part(const char* const* names,
+                     const float* const* chans, int n, int width, int height,
+                     int compression, int pixel_type, int tile_w, int tile_h,
+                     std::string* header_attrs,
+                     std::vector<std::string>* chunk_headers_out,
+                     std::vector<std::string>* payloads_out) {
   if (compression != COMP_NONE && compression != COMP_RLE &&
       compression != COMP_ZIPS && compression != COMP_ZIP &&
       compression != COMP_PIZ && compression != COMP_PXR24 &&
@@ -914,14 +926,11 @@ static int write_impl(const char* path, const char* const* names,
                                                                      : 1;
   int psz = pixel_size(pixel_type);
 
-  std::string header;
+  std::string& header = *header_attrs;
+  header.clear();
   auto attr = [&](const char* aname, const char* atype,
                   const std::string& payload) {
-    header += aname; header.push_back(0);
-    header += atype; header.push_back(0);
-    int32_t len = (int32_t)payload.size();
-    header.append((const char*)&len, 4);
-    header += payload;
+    append_attr(&header, aname, atype, payload);
   };
   std::string chlist;
   for (int i = 0; i < n; ++i) {
@@ -952,7 +961,6 @@ static int write_impl(const char* path, const char* const* names,
     td.push_back(0);  // ONE_LEVEL, ROUND_DOWN
     attr("tiles", "tiledesc", td);
   }
-  header.push_back(0);
 
   std::vector<uint8_t> rows, transformed, comp_buf;
 
@@ -1147,8 +1155,8 @@ static int write_impl(const char* path, const char* const* names,
     return 0;
   };
 
-  std::vector<std::string> payloads;
-  std::vector<std::string> chunk_headers;
+  std::vector<std::string>& payloads = *payloads_out;
+  std::vector<std::string>& chunk_headers = *chunk_headers_out;
   if (tiled) {
     int ntx = (width + tile_w - 1) / tile_w;
     int nty = (height + tile_h - 1) / tile_h;
@@ -1179,9 +1187,24 @@ static int write_impl(const char* path, const char* const* names,
       chunk_headers[ci].assign((const char*)hdr, 8);
     }
   }
+  return 0;
+}
+
+// Single-part writer: prep one part, terminate its header, emit the file.
+static int write_impl(const char* path, const char* const* names,
+                      const float* const* chans, int n, int width, int height,
+                      int compression, int pixel_type, int tile_w,
+                      int tile_h) {
+  std::string header;
+  std::vector<std::string> chunk_headers, payloads;
+  int rc = prep_part(names, chans, n, width, height, compression, pixel_type,
+                     tile_w, tile_h, &header, &chunk_headers, &payloads);
+  if (rc != 0) return rc;
+  header.push_back(0);
 
   FILE* f = std::fopen(path, "wb");
   if (!f) return -3;
+  const bool tiled = tile_w > 0;
   int32_t magic = kMagic, version = tiled ? (2 | 0x200) : 2;
   std::fwrite(&magic, 4, 1, f);
   std::fwrite(&version, 4, 1, f);
@@ -1217,6 +1240,74 @@ int pcss_exr_write_tiled(const char* path, const char* const* names,
   if (tile_w <= 0 || tile_h <= 0) return -1;
   return write_impl(path, names, chans, n, width, height, compression,
                     pixel_type, tile_w, tile_h);
+}
+
+// Write a multi-part EXR (version flag 0x1000).  Channel names/planes are
+// flattened across parts in part order (n_chans[p] per part); widths/
+// heights are per part.  Each part carries the mandated name/type/
+// chunkCount attributes; chunks lead with their part number; per-part
+// offset tables stored back to back.  Part names must be unique.
+int pcss_exr_write_multipart(const char* path,
+                             const char* const* part_names, int n_parts,
+                             const int* n_chans, const char* const* names,
+                             const float* const* chans, const int* widths,
+                             const int* heights, int compression,
+                             int pixel_type, int tile_w, int tile_h) {
+  if (n_parts <= 0) return -1;
+  for (int i = 0; i < n_parts; ++i)
+    for (int j = i + 1; j < n_parts; ++j)
+      if (std::strcmp(part_names[i], part_names[j]) == 0) return -1;
+  const char* ptype = tile_w > 0 ? "tiledimage" : "scanlineimage";
+
+  std::vector<std::string> headers(n_parts);
+  std::vector<std::vector<std::string>> part_chdrs(n_parts);
+  std::vector<std::vector<std::string>> part_payloads(n_parts);
+  int coff = 0;
+  for (int p = 0; p < n_parts; ++p) {
+    int rc = prep_part(names + coff, chans + coff, n_chans[p], widths[p],
+                       heights[p], compression, pixel_type, tile_w, tile_h,
+                       &headers[p], &part_chdrs[p], &part_payloads[p]);
+    if (rc != 0) return rc;
+    coff += n_chans[p];
+    append_attr(&headers[p], "name", "string", part_names[p]);
+    append_attr(&headers[p], "type", "string", ptype);
+    int32_t cc = (int32_t)part_payloads[p].size();
+    append_attr(&headers[p], "chunkCount", "int",
+                std::string((const char*)&cc, 4));
+    headers[p].push_back(0);  // end of this part's attribute list
+  }
+
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return -3;
+  int32_t magic = kMagic, version = 2 | 0x1000;
+  std::fwrite(&magic, 4, 1, f);
+  std::fwrite(&version, 4, 1, f);
+  size_t header_block = 1;  // trailing empty header byte
+  size_t n_total = 0;
+  for (int p = 0; p < n_parts; ++p) {
+    header_block += headers[p].size();
+    n_total += part_payloads[p].size();
+  }
+  for (int p = 0; p < n_parts; ++p)
+    std::fwrite(headers[p].data(), 1, headers[p].size(), f);
+  std::fputc(0, f);
+  int64_t pos = 8 + (int64_t)header_block + 8LL * (int64_t)n_total;
+  for (int p = 0; p < n_parts; ++p)
+    for (size_t ci = 0; ci < part_payloads[p].size(); ++ci) {
+      std::fwrite(&pos, 8, 1, f);
+      pos += 4 + (int64_t)part_chdrs[p][ci].size() +
+             (int64_t)part_payloads[p][ci].size();
+    }
+  for (int p = 0; p < n_parts; ++p)
+    for (size_t ci = 0; ci < part_payloads[p].size(); ++ci) {
+      int32_t pn = p;
+      std::fwrite(&pn, 4, 1, f);
+      std::fwrite(part_chdrs[p][ci].data(), 1, part_chdrs[p][ci].size(), f);
+      std::fwrite(part_payloads[p][ci].data(), 1,
+                  part_payloads[p][ci].size(), f);
+    }
+  std::fclose(f);
+  return 0;
 }
 
 }  // extern "C"

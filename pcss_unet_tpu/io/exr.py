@@ -80,6 +80,15 @@ def _load_native():
                                                     ctypes.c_int]
             lib.pcss_exr_num_parts.restype = ctypes.c_int
             lib.pcss_exr_num_parts.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "pcss_exr_write_multipart"):
+            lib.pcss_exr_write_multipart.restype = ctypes.c_int
+            lib.pcss_exr_write_multipart.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
         lib.pcss_exr_dims.restype = ctypes.c_int
         lib.pcss_exr_dims.argtypes = [ctypes.c_void_p,
                                       ctypes.POINTER(ctypes.c_int),
@@ -167,6 +176,56 @@ def _read_channels_native(path: str, names: Sequence[str], part: int = 0):
         return out
     finally:
         lib.pcss_exr_close(handle)
+
+
+def write_exr_multipart(path: str,
+                        parts: list[tuple[str, dict[str, np.ndarray]]],
+                        compression: int = COMP_ZIP,
+                        pixel_type: int = PT_FLOAT,
+                        tile_size: tuple[int, int] | None = None) -> None:
+    """Write a multi-part EXR (``parts``: ordered (name, channels) pairs).
+    Native codec when available (``pcss_exr_write_multipart``), Python
+    twin as fallback and oracle."""
+    lib = (_load_native()
+           if os.environ.get("PCSS_EXR_BACKEND") != "python" else None)
+    if lib is not None and hasattr(lib, "pcss_exr_write_multipart"):
+        part_names = [n for n, _ in parts]
+        chan_names: list[str] = []
+        arrs: list[np.ndarray] = []
+        n_chans = []
+        widths, heights = [], []
+        for _, channels in parts:
+            names = sorted(channels)
+            n_chans.append(len(names))
+            h, w = np.asarray(channels[names[0]]).shape
+            heights.append(h)
+            widths.append(w)
+            for cn in names:
+                chan_names.append(cn)
+                arrs.append(np.ascontiguousarray(
+                    np.asarray(channels[cn], np.float32)))
+        pn_arr = (ctypes.c_char_p * len(parts))(
+            *[s.encode() for s in part_names])
+        nc_arr = (ctypes.c_int * len(parts))(*n_chans)
+        w_arr = (ctypes.c_int * len(parts))(*widths)
+        h_arr = (ctypes.c_int * len(parts))(*heights)
+        cn_arr = (ctypes.c_char_p * len(chan_names))(
+            *[s.encode() for s in chan_names])
+        ptr_arr = (ctypes.POINTER(ctypes.c_float) * len(arrs))(
+            *[a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+              for a in arrs])
+        tw, th = (0, 0) if tile_size is None else (int(tile_size[0]),
+                                                   int(tile_size[1]))
+        rc = lib.pcss_exr_write_multipart(
+            path.encode(), pn_arr, len(parts), nc_arr, cn_arr, ptr_arr,
+            w_arr, h_arr, compression, pixel_type, tw, th)
+        if rc == 0:
+            return
+        logging.warning("native multi-part EXR write failed (rc=%d); "
+                        "using python codec", rc)
+    exr_py.write_exr_multipart_py(path, parts, compression=compression,
+                                  pixel_type=pixel_type,
+                                  tile_size=tile_size)
 
 
 def list_exr_channels(path: str, part: int | str = 0) -> list[str]:
