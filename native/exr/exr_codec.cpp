@@ -11,7 +11,7 @@
 //     ZIPS(2), ZIP(3), PIZ(4), PXR24(5), B44(6), B44A(7), DWAA(8),
 //     DWAB(9)
 //   - pixel types UINT(0), HALF(1), FLOAT(2)
-//   - INCREASING_Y line order
+//   - any line order (chunks scatter by their own y/tile coords)
 // Exposed as a C ABI consumed via ctypes (pcss_unet_tpu/io/exr.py).  The
 // pure-Python twin (io/exr_py.py) is the fallback and the differential-test
 // oracle.  File-level parallelism happens in Python threads: every entry
@@ -181,6 +181,12 @@ struct Reader {
           ++cpos;
           if (cpos + 16 > (size_t)asize) return fail("bad chlist");
           std::memcpy(&ch.pixel_type, payload + cpos, 4);
+          int32_t xs, ys;  // subsampled channels would decode garbage
+          std::memcpy(&xs, payload + cpos + 8, 4);
+          std::memcpy(&ys, payload + cpos + 12, 4);
+          if (xs != 1 || ys != 1)
+            return fail("subsampled channel '" + ch.name +
+                        "' not supported");
           cpos += 16;  // pixel_type(4) + pLinear/reserved(4) + xSampling(4) + ySampling(4)
           channels.push_back(ch);
         }

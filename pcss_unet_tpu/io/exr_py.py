@@ -334,6 +334,13 @@ class ExrFile:
             self._n_chunks_forced = None
             self._chunk_prefix = 0
         self.channels = _parse_chlist(self.attrs["channels"][1])
+        for c in self.channels:
+            # subsampled (Y'CbCr-style) channels would silently decode
+            # garbage through the dense scanline math — reject loudly
+            if c.x_sampling != 1 or c.y_sampling != 1:
+                raise ValueError(
+                    f"subsampled channel {c.name!r} (sampling "
+                    f"{c.x_sampling}x{c.y_sampling}) not supported")
         self.compression = self.attrs["compression"][1][0]
         if self.compression not in _LINES_PER_CHUNK:
             raise ValueError(f"unsupported EXR compression {self.compression} "

@@ -1110,3 +1110,63 @@ def test_multipart_native_write_rejects_duplicate_names(tmp_path, rng):
         str(tmp_path / "d.exr").encode(), pn, 2, nc, cn, pa, ws, hs,
         COMP_ZIP, PT_FLOAT, 0, 0)
     assert rc != 0
+
+
+def test_subsampled_channels_rejected(tmp_path, rng):
+    """Channels with xSampling/ySampling != 1 (chroma-subsampled Y'CbCr
+    files) must fail LOUDLY in both codecs — the dense scanline math would
+    silently decode garbage otherwise."""
+    import struct as _struct
+
+    chans = {"R": rng.random((8, 12)).astype(np.float32)}
+    path = str(tmp_path / "sub.exr")
+    exr_py.write_exr_py(path, chans, compression=COMP_NONE)
+    data = bytearray(open(path, "rb").read())
+    # channel entry: name NUL ptype(4) pLinear+reserved(4) xs(4) ys(4)
+    idx = data.index(b"channels\x00chlist\x00")
+    entry = data.index(b"R\x00", idx) + 2
+    assert _struct.unpack_from("<i", data, entry + 8)[0] == 1  # xSampling
+    _struct.pack_into("<i", data, entry + 8, 2)  # xSampling = 2
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="subsampled"):
+        exr_py.read_exr_channels_py(path, ["R"])
+    if _load_native() is not None:
+        from pcss_unet_tpu.io.exr import _read_channels_native
+
+        with pytest.raises(IOError, match="subsampled"):
+            _read_channels_native(path, ["R"])
+
+
+def test_chunk_order_independence(tmp_path, rng):
+    """Decode scatters by each chunk's own y / tile coordinates, so chunk
+    ORDER in the offset table is irrelevant — files written with
+    DECREASING_Y / RANDOM_Y line order decode identically.  Pinned by
+    reversing a real file's offset table and flipping its lineOrder."""
+    import struct as _struct
+
+    h, w = 50, 31  # several 16-line ZIP chunks incl. a partial one
+    chans = {n: rng.standard_normal((h, w)).astype(np.float32)
+             for n in ("G", "R")}
+    path = str(tmp_path / "order.exr")
+    exr_py.write_exr_py(path, chans, compression=COMP_ZIP)
+    data = bytearray(open(path, "rb").read())
+    idx = data.index(b"lineOrder\x00lineOrder\x00")
+    data[idx + len(b"lineOrder\x00lineOrder\x00") + 4] = 1  # DECREASING_Y
+    # locate the offset table: header ends at the empty attribute name
+    f = exr_py.ExrFile(bytes(data))
+    offs = list(f._chunk_offsets)
+    n_chunks = len(offs)
+    table_pos = data.index(
+        _struct.pack(f"<{n_chunks}q", *offs))
+    data[table_pos:table_pos + 8 * n_chunks] = _struct.pack(
+        f"<{n_chunks}q", *offs[::-1])
+    open(path, "wb").write(bytes(data))
+    out = exr_py.read_exr_channels_py(path, ["R", "G"])
+    for n in chans:
+        np.testing.assert_array_equal(out[n], chans[n])
+    if _load_native() is not None:
+        from pcss_unet_tpu.io.exr import _read_channels_native
+
+        nat = _read_channels_native(path, ["R", "G"])
+        for n in chans:
+            np.testing.assert_array_equal(nat[n], chans[n])
