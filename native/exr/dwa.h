@@ -123,20 +123,23 @@ inline std::vector<std::vector<int>> plane_order(
 // and sign(0)*x semantics map -0 to +0 exactly as np.sign does.
 inline const uint16_t* to_linear_lut(float (*half_to_float_fn)(uint16_t),
                                      uint16_t (*float_to_half_fn)(float)) {
-  static std::vector<uint16_t> lut;
-  if (lut.empty()) {
-    lut.resize(65536);
+  // C++11 magic static: decodes run GIL-free on multiple threads, so the
+  // lazy init must be race-free (a plain static vector + empty() check
+  // would be a concurrent-resize UB).
+  static const std::vector<uint16_t>* lut = [&] {
+    auto* t = new std::vector<uint16_t>(65536);
     for (uint32_t b = 0; b < 65536; ++b) {
       float f = half_to_float_fn((uint16_t)b);
       if (!std::isfinite(f)) {
-        lut[b] = (uint16_t)b;
+        (*t)[b] = (uint16_t)b;
         continue;
       }
       float s = f > 0.f ? 1.f : f < 0.f ? -1.f : 0.f;
-      lut[b] = float_to_half_fn(s * std::pow(std::fabs(f), 2.2f));
+      (*t)[b] = float_to_half_fn(s * std::pow(std::fabs(f), 2.2f));
     }
-  }
-  return lut.data();
+    return t;
+  }();
+  return lut->data();
 }
 
 inline const int* zigzag() {
@@ -150,18 +153,17 @@ inline const int* zigzag() {
 
 // orthonormal 8-point DCT-II basis C[k][x]
 inline const float* dct_basis() {
-  static float C[64];
-  static bool init = false;
-  if (!init) {
+  static const std::vector<float>* C = [] {  // race-free lazy init
+    auto* t = new std::vector<float>(64);
     for (int k = 0; k < 8; ++k) {
       float s = k == 0 ? std::sqrt(1.0f / 8.0f) : std::sqrt(2.0f / 8.0f);
       for (int x = 0; x < 8; ++x)
-        C[k * 8 + x] =
+        (*t)[k * 8 + x] =
             s * std::cos((float)(M_PI * (2 * x + 1) * k / 16.0));
     }
-    init = true;
-  }
-  return C;
+    return t;
+  }();
+  return C->data();
 }
 
 // EXR RLE decode (same scheme as the scanline codec's)
@@ -221,20 +223,21 @@ inline bool inflate_to(const uint8_t* src, size_t n, size_t expected,
 // twin of to_linear_lut, matching io/dwa.py _lut_nonlinear.
 inline const uint16_t* to_nonlinear_lut(float (*half_to_float_fn)(uint16_t),
                                         uint16_t (*float_to_half_fn)(float)) {
-  static std::vector<uint16_t> lut;
-  if (lut.empty()) {
-    lut.resize(65536);
+  // race-free lazy init (see to_linear_lut)
+  static const std::vector<uint16_t>* lut = [&] {
+    auto* t = new std::vector<uint16_t>(65536);
     for (uint32_t b = 0; b < 65536; ++b) {
       float f = half_to_float_fn((uint16_t)b);
       if (!std::isfinite(f)) {
-        lut[b] = (uint16_t)b;
+        (*t)[b] = (uint16_t)b;
         continue;
       }
       float s = f > 0.f ? 1.f : f < 0.f ? -1.f : 0.f;
-      lut[b] = float_to_half_fn(s * std::pow(std::fabs(f), 1.0f / 2.2f));
+      (*t)[b] = float_to_half_fn(s * std::pow(std::fabs(f), 1.0f / 2.2f));
     }
-  }
-  return lut.data();
+    return t;
+  }();
+  return lut->data();
 }
 
 // ZIP reorder+delta byte transform (DC segment; mirror of the codec's).

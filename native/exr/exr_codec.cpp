@@ -131,9 +131,11 @@ struct Reader {
   // prefix size (4 bytes in multi-part streams, 0 otherwise), and the
   // selected part's authoritative chunkCount attribute
   int want_part = 0;
+  std::string want_part_name;       // by-name selection (empty = by index)
   int n_parts = 1;
   int chunk_prefix = 0;
   int32_t forced_chunks = -1;
+  std::vector<std::string> part_names;
 
   bool fail(const std::string& msg) { error = msg; return false; }
 
@@ -152,7 +154,8 @@ struct Reader {
   // and ``ptype`` always capture chunkCount/type when present.
   bool parse_one_header(size_t& pos, bool record, bool* have_channels,
                         bool* have_dw, bool* have_comp, bool* have_tiles,
-                        int32_t* chunk_count, std::string* ptype) {
+                        int32_t* chunk_count, std::string* ptype,
+                        std::string* pname) {
     while (true) {
       std::string name, type;
       if (!read_cstr(pos, &name)) return fail("truncated header");
@@ -166,6 +169,9 @@ struct Reader {
       const uint8_t* payload = data + pos;
       if (name == "chunkCount" && asize >= 4) {
         std::memcpy(chunk_count, payload, 4);
+      } else if (name == "name") {
+        pname->assign((const char*)payload, (size_t)asize);
+        while (!pname->empty() && pname->back() == '\0') pname->pop_back();
       } else if (name == "type") {
         ptype->assign((const char*)payload, (size_t)asize);
         while (!ptype->empty() && ptype->back() == '\0') ptype->pop_back();
@@ -236,39 +242,57 @@ struct Reader {
     size_t pos = 8;
     bool have_channels = false, have_dw = false, have_comp = false;
     if (!multipart) {
-      if (want_part != 0)
+      if (want_part != 0 || !want_part_name.empty())
         return fail("part selection on a single-part file");
       int32_t cc = -1;
-      std::string ptype;
+      std::string ptype, pname;
       if (!parse_one_header(pos, true, &have_channels, &have_dw, &have_comp,
-                            &have_tiles, &cc, &ptype))
+                            &have_tiles, &cc, &ptype, &pname))
         return false;
     } else {
       // headers back to back, list ended by an empty byte; then every
       // part's chunk-offset table back to back in part order; chunks
-      // lead with a 4-byte part number
+      // lead with a 4-byte part number.  Pass 1 collects every part's
+      // name/type/chunkCount (so by-NAME selection needs no second file
+      // read); pass 2 records the selected part's attributes.
       std::vector<int32_t> counts;
-      std::string sel_type;
-      int idx = 0;
-      while (pos < size && data[pos] != 0) {
-        bool rec = idx == want_part;
+      std::vector<std::string> types;
+      size_t p1 = pos;
+      while (p1 < size && data[p1] != 0) {
         int32_t cc = -1;
-        std::string ptype;
-        if (!parse_one_header(pos, rec, &have_channels, &have_dw,
-                              &have_comp, &have_tiles, &cc, &ptype))
+        std::string ptype, pname;
+        bool dc0, dc1, dc2, dc3;  // discarded in the non-recording pass
+        if (!parse_one_header(p1, false, &dc0, &dc1, &dc2, &dc3, &cc,
+                              &ptype, &pname))
           return false;
         if (cc < 0) return fail("multi-part header missing chunkCount");
-        if (rec) sel_type = ptype;
         counts.push_back(cc);
-        ++idx;
+        types.push_back(ptype);
+        part_names.push_back(pname);
       }
-      if (pos >= size) return fail("truncated multi-part header list");
-      ++pos;  // empty byte terminating the header list
-      n_parts = idx;
-      if (want_part >= idx) return fail("part index out of range");
+      if (p1 >= size) return fail("truncated multi-part header list");
+      ++p1;  // empty byte terminating the header list
+      n_parts = (int)counts.size();
+      if (!want_part_name.empty()) {
+        want_part = -1;
+        for (int i = 0; i < n_parts; ++i)
+          if (part_names[i] == want_part_name) { want_part = i; break; }
+        if (want_part < 0)
+          return fail("no part named '" + want_part_name + "'");
+      }
+      if (want_part >= n_parts) return fail("part index out of range");
+      for (int i = 0; i <= want_part; ++i) {  // pass 2: record selected
+        int32_t cc = -1;
+        std::string ptype, pname;
+        if (!parse_one_header(pos, i == want_part, &have_channels, &have_dw,
+                              &have_comp, &have_tiles, &cc, &ptype, &pname))
+          return false;
+      }
+      const std::string& sel_type = types[want_part];
       if (sel_type == "deepscanline" || sel_type == "deeptile")
         return fail("deep-data EXR part not supported");
       tiled = sel_type == "tiledimage";  // per-part, not the version bit
+      pos = p1;
       for (int p = 0; p < want_part; ++p)
         pos += (size_t)counts[p] * 8;
       forced_chunks = counts[want_part];
@@ -363,21 +387,10 @@ struct Reader {
     return o == expected;
   }
 
-  // Undo OpenEXR's reorder+delta transform in place (scratch -> out).
+  // Undo OpenEXR's reorder+delta transform (shared impl in dwa.h).
   static void undo_zip_transform(std::vector<uint8_t>& buf,
                                  std::vector<uint8_t>& out) {
-    size_t n = buf.size();
-    for (size_t i = 1; i < n; ++i)
-      buf[i] = (uint8_t)((int)buf[i - 1] + (int)buf[i] - 128);
-    out.resize(n);
-    const uint8_t* t1 = buf.data();
-    const uint8_t* t2 = buf.data() + (n + 1) / 2;
-    uint8_t* s = out.data();
-    uint8_t* stop = s + n;
-    while (true) {
-      if (s < stop) *s++ = *t1++; else break;
-      if (s < stop) *s++ = *t2++; else break;
-    }
+    dwa::undo_zip_transform(buf, out);
   }
 
   // scratch buffers reused across blocks
@@ -689,10 +702,15 @@ struct Reader {
           }
           continue;  // full-res level 0 only; pyramid levels skipped
         }
-        int x0 = dx * tile_w, y0 = dy * tile_h;
-        if (dx < 0 || dy < 0 || x0 >= width || y0 >= height) {
+        // validate the tile INDEX before multiplying — dx * tile_w can
+        // overflow int to a negative x0 that slips past an x0 >= width
+        // check and scatters out of bounds
+        int ntx = (width + tile_w - 1) / tile_w;
+        int nty = (height + tile_h - 1) / tile_h;
+        if (dx < 0 || dy < 0 || dx >= ntx || dy >= nty) {
           error = "bad tile index"; return -1;
         }
+        int x0 = dx * tile_w, y0 = dy * tile_h;
         int bw = std::min(tile_w, width - x0);
         int bh = std::min(tile_h, height - y0);
         if (!decode_block(data + off + 20, csize, bw, bh, x0, y0, dsts))
@@ -715,6 +733,9 @@ struct Reader {
       if (csize < 0 || (size_t)off + 8 + (size_t)csize > size) {
         error = "bad chunk size"; return -1;
       }
+      // chunks scatter by their own y — a corrupt y would otherwise
+      // become an out-of-bounds plane write
+      if (y < ymin || y > ymax) { error = "chunk y out of range"; return -1; }
       int y0 = y - ymin;
       int n_lines = std::min(lines_per_chunk, height - y0);
       if (!decode_block(data + off + 8, csize, width, n_lines, 0, y0, dsts))
@@ -733,21 +754,10 @@ struct Reader {
   }
 };
 
+// ZIP reorder+delta: one shared implementation (dwa.h) serves the
+// scanline writer, the DWA DC segment, and their inverses.
 void do_zip_transform(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
-  out.resize(n);
-  // split even/odd byte streams
-  uint8_t* t1 = out.data();
-  uint8_t* t2 = out.data() + (n + 1) / 2;
-  for (size_t i = 0; i < n; ++i) {
-    if (i % 2 == 0) *t1++ = src[i]; else *t2++ = src[i];
-  }
-  // delta encode
-  uint8_t prev = out[0];
-  for (size_t i = 1; i < n; ++i) {
-    uint8_t cur = out[i];
-    out[i] = (uint8_t)((int)cur - (int)prev + 128);
-    prev = cur;
-  }
+  dwa::do_zip_transform(src, n, &out);
 }
 
 }  // namespace
@@ -795,9 +805,45 @@ void* pcss_exr_open_file(const char* path) {
   return pcss_exr_open_file_part(path, 0);
 }
 
+// Open a multi-part file selecting the part by NAME — one file read total
+// (the header walk resolves the index; no separate name query needed).
+void* pcss_exr_open_file_named(const char* path, const char* part_name) {
+  FILE* f = std::fopen(path, "rb");
+  auto* r = new Reader();
+  r->want_part_name = part_name ? part_name : "";
+  if (!f) {
+    r->fail("cannot open file");
+    r->width = -1;
+    return r;
+  }
+  std::fseek(f, 0, SEEK_END);
+  long sz = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  r->owned.resize((size_t)sz);
+  size_t got = std::fread(r->owned.data(), 1, (size_t)sz, f);
+  std::fclose(f);
+  r->data = r->owned.data();
+  r->size = got;
+  if (got != (size_t)sz || !r->parse()) {
+    if (r->error.empty()) r->error = "short read";
+    r->width = -1;
+  }
+  return r;
+}
+
 // Number of parts in the opened file (1 for single-part).
 int pcss_exr_num_parts(void* h) {
   return ((Reader*)h)->n_parts;
+}
+
+// Name of part idx ("" for unnamed/single-part).  -1 if out of range.
+int pcss_exr_part_name(void* h, int idx, char* buf, int buflen) {
+  auto* r = (Reader*)h;
+  if (idx < 0 || idx >= r->n_parts) return -1;
+  const char* nm = (size_t)idx < r->part_names.size()
+                       ? r->part_names[idx].c_str() : "";
+  std::snprintf(buf, buflen, "%s", nm);
+  return 0;
 }
 
 int pcss_exr_dims(void* h, int* width, int* height) {
@@ -1122,26 +1168,8 @@ static int prep_part(const char* const* names,
       payload->assign((const char*)rows.data(), rows.size());
     } else if (compression == COMP_RLE) {
       do_zip_transform(rows.data(), rows.size(), transformed);
-      std::string enc;
-      enc.reserve(transformed.size());
-      size_t i = 0, n2 = transformed.size();
-      const uint8_t* d = transformed.data();
-      while (i < n2) {
-        size_t run = 1;
-        while (i + run < n2 && d[i + run] == d[i] && run < 127) ++run;
-        if (run >= 3) {
-          enc.push_back((char)(run - 1));
-          enc.push_back((char)d[i]);
-          i += run;
-        } else {
-          size_t start = i;
-          while (i < n2 && i - start < 127 &&
-                 !(i + 2 < n2 && d[i] == d[i + 1] && d[i] == d[i + 2]))
-            ++i;
-          enc.push_back((char)(256 - (i - start)));
-          enc.append((const char*)d + start, i - start);
-        }
-      }
+      std::string enc;  // shared EXR RLE encoder (dwa.h)
+      dwa::rle_encode(transformed.data(), transformed.size(), &enc);
       if (enc.size() < rows.size())
         *payload = enc;
       else
@@ -1210,22 +1238,28 @@ static int write_impl(const char* path, const char* const* names,
 
   FILE* f = std::fopen(path, "wb");
   if (!f) return -3;
+  bool ok = true;
+  auto put = [&](const void* p, size_t nbytes) {
+    if (nbytes) ok = ok && std::fwrite(p, 1, nbytes, f) == nbytes;
+  };
   const bool tiled = tile_w > 0;
   int32_t magic = kMagic, version = tiled ? (2 | 0x200) : 2;
-  std::fwrite(&magic, 4, 1, f);
-  std::fwrite(&version, 4, 1, f);
-  std::fwrite(header.data(), 1, header.size(), f);
+  put(&magic, 4);
+  put(&version, 4);
+  put(header.data(), header.size());
   int64_t pos = 8 + (int64_t)header.size() + 8LL * (int64_t)payloads.size();
   for (size_t ci = 0; ci < payloads.size(); ++ci) {
-    std::fwrite(&pos, 8, 1, f);
+    put(&pos, 8);
     pos += (int64_t)chunk_headers[ci].size() + (int64_t)payloads[ci].size();
   }
   for (size_t ci = 0; ci < payloads.size(); ++ci) {
-    std::fwrite(chunk_headers[ci].data(), 1, chunk_headers[ci].size(), f);
-    std::fwrite(payloads[ci].data(), 1, payloads[ci].size(), f);
+    put(chunk_headers[ci].data(), chunk_headers[ci].size());
+    put(payloads[ci].data(), payloads[ci].size());
   }
-  std::fclose(f);
-  return 0;
+  // short writes / failed flush (disk full) must NOT report success — a
+  // silently truncated file would be discovered only at read time
+  if (std::fclose(f) != 0) ok = false;
+  return ok ? 0 : -3;
 }
 
 // Write a single-part scanline EXR.  names: n null-terminated channel names
@@ -1285,9 +1319,13 @@ int pcss_exr_write_multipart(const char* path,
 
   FILE* f = std::fopen(path, "wb");
   if (!f) return -3;
+  bool ok = true;
+  auto put = [&](const void* p, size_t nbytes) {
+    if (nbytes) ok = ok && std::fwrite(p, 1, nbytes, f) == nbytes;
+  };
   int32_t magic = kMagic, version = 2 | 0x1000;
-  std::fwrite(&magic, 4, 1, f);
-  std::fwrite(&version, 4, 1, f);
+  put(&magic, 4);
+  put(&version, 4);
   size_t header_block = 1;  // trailing empty header byte
   size_t n_total = 0;
   for (int p = 0; p < n_parts; ++p) {
@@ -1295,25 +1333,25 @@ int pcss_exr_write_multipart(const char* path,
     n_total += part_payloads[p].size();
   }
   for (int p = 0; p < n_parts; ++p)
-    std::fwrite(headers[p].data(), 1, headers[p].size(), f);
-  std::fputc(0, f);
+    put(headers[p].data(), headers[p].size());
+  if (std::fputc(0, f) == EOF) ok = false;
   int64_t pos = 8 + (int64_t)header_block + 8LL * (int64_t)n_total;
   for (int p = 0; p < n_parts; ++p)
     for (size_t ci = 0; ci < part_payloads[p].size(); ++ci) {
-      std::fwrite(&pos, 8, 1, f);
+      put(&pos, 8);
       pos += 4 + (int64_t)part_chdrs[p][ci].size() +
              (int64_t)part_payloads[p][ci].size();
     }
   for (int p = 0; p < n_parts; ++p)
     for (size_t ci = 0; ci < part_payloads[p].size(); ++ci) {
       int32_t pn = p;
-      std::fwrite(&pn, 4, 1, f);
-      std::fwrite(part_chdrs[p][ci].data(), 1, part_chdrs[p][ci].size(), f);
-      std::fwrite(part_payloads[p][ci].data(), 1,
-                  part_payloads[p][ci].size(), f);
+      put(&pn, 4);
+      put(part_chdrs[p][ci].data(), part_chdrs[p][ci].size());
+      put(part_payloads[p][ci].data(), part_payloads[p][ci].size());
     }
-  std::fclose(f);
-  return 0;
+  // disk-full / failed flush must not report success (see write_impl)
+  if (std::fclose(f) != 0) ok = false;
+  return ok ? 0 : -3;
 }
 
 }  // extern "C"

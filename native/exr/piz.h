@@ -14,9 +14,11 @@
 #include <cstring>
 #include <string>
 #include <vector>
+#include <algorithm>
+#ifdef PIZ_PROFILE
 #include <chrono>
 #include <cstdio>
-#include <algorithm>
+#endif
 
 namespace piz {
 

@@ -80,6 +80,13 @@ def _load_native():
                                                     ctypes.c_int]
             lib.pcss_exr_num_parts.restype = ctypes.c_int
             lib.pcss_exr_num_parts.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "pcss_exr_open_file_named"):
+            lib.pcss_exr_open_file_named.restype = ctypes.c_void_p
+            lib.pcss_exr_open_file_named.argtypes = [ctypes.c_char_p,
+                                                     ctypes.c_char_p]
+            lib.pcss_exr_part_name.restype = ctypes.c_int
+            lib.pcss_exr_part_name.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                               ctypes.c_char_p, ctypes.c_int]
         if hasattr(lib, "pcss_exr_write_multipart"):
             lib.pcss_exr_write_multipart.restype = ctypes.c_int
             lib.pcss_exr_write_multipart.argtypes = [
@@ -128,13 +135,19 @@ def _load_native():
         return _lib
 
 
-def _read_channels_native(path: str, names: Sequence[str], part: int = 0):
+def _read_channels_native(path: str, names: Sequence[str],
+                          part: int | str = 0):
     lib = _load_native()
     if lib is None:
         return None
-    if part and not hasattr(lib, "pcss_exr_open_file_part"):
-        return None  # pre-multi-part .so
-    if part:
+    if isinstance(part, str):
+        if not hasattr(lib, "pcss_exr_open_file_named"):
+            return None  # pre-named-part .so
+        # by-NAME selection resolves inside ONE native open/read
+        handle = lib.pcss_exr_open_file_named(path.encode(), part.encode())
+    elif part:
+        if not hasattr(lib, "pcss_exr_open_file_part"):
+            return None  # pre-multi-part .so
         handle = lib.pcss_exr_open_file_part(path.encode(), part)
     else:
         handle = lib.pcss_exr_open_file(path.encode())
@@ -245,19 +258,15 @@ def read_exr_channels(path: str, names: Sequence[str],
 
     ``part`` selects a part of a multi-part file by index or name
     (default 0, which is also what the reference's ``OpenEXR.InputFile``
-    exposes — setdata.py:42).  The native codec reads parts by index;
-    by-name selection resolves the index through a header-only Python
-    parse first."""
+    exposes — setdata.py:42).  The native codec resolves index OR name
+    inside one open (``pcss_exr_open_file_named``) — a single file read
+    either way."""
     if not os.path.exists(path):
         raise IOError(f"EXR file does not exist: {path}")
     if os.environ.get("PCSS_EXR_BACKEND") != "python":
         try:
-            idx = part
-            if isinstance(idx, str):
-                with open(path, "rb") as f:  # header-only name resolution
-                    idx = exr_py.ExrFile(f.read(), part=part).part_names.index(idx)
-            result = _read_channels_native(path, names, part=idx)
-        except (IOError, ValueError) as e:
+            result = _read_channels_native(path, names, part=part)
+        except IOError as e:
             # fall back for files the native codec rejects (the pure-Python
             # twin may still support them, or give a clearer error)
             logging.debug("native EXR decode failed (%s); trying python", e)

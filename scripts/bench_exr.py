@@ -83,17 +83,13 @@ def main() -> None:
     all_comps = dict(COMPS)
     all_comps.update(PY_ONLY)
     for cname, comp in all_comps.items():
-        # B44/DWA encode is Python-only; decode exists in both codecs
-        enc_native_ok = have_native and cname not in PY_ONLY
         path = os.path.join(args.out_dir, f"{cname}.exr")
         for backend in (("native", "python") if have_native else ("python",)):
-            if backend == "native" and enc_native_ok:
-                enc = lambda: write_exr(path, chans, compression=comp)  # noqa: E731
-            else:
-                enc = lambda: exr_py.write_exr_py(path, chans, compression=comp)  # noqa: E731
             if backend == "native":
+                enc = lambda: write_exr(path, chans, compression=comp)  # noqa: E731
                 dec = lambda: _read_channels_native(path, names)  # noqa: E731
             else:
+                enc = lambda: exr_py.write_exr_py(path, chans, compression=comp)  # noqa: E731
                 dec = lambda: exr_py.read_exr_channels_py(path, names)  # noqa: E731
             t_enc = timed(enc, args.reps)
             size_mb = os.path.getsize(path) / 1e6
@@ -103,14 +99,12 @@ def main() -> None:
                    "decode_mb_s": round(raw_mb / t_dec, 1),
                    "file_mb": round(size_mb, 2),
                    "ratio": round(raw_mb / size_mb, 2)}
-            if backend == "native" and not enc_native_ok:
-                row["encode_backend"] = "python"  # dispatcher fallback
             # thread scaling: N concurrent decodes of the same file
             if args.threads > 1:
                 files = []
                 for i in range(args.threads):
                     p = os.path.join(args.out_dir, f"{cname}_{i}.exr")
-                    if backend == "native" and enc_native_ok:
+                    if backend == "native":
                         write_exr(p, chans, compression=comp)
                     else:
                         exr_py.write_exr_py(p, chans, compression=comp)

@@ -1170,3 +1170,38 @@ def test_chunk_order_independence(tmp_path, rng):
         nat = _read_channels_native(path, ["R", "G"])
         for n in chans:
             np.testing.assert_array_equal(nat[n], chans[n])
+
+
+def test_corrupt_chunk_coordinates_rejected(tmp_path, rng):
+    """A chunk whose self-describing coordinates lie outside the data
+    window must error cleanly — the scatter-by-coordinates decode would
+    otherwise write out of bounds (heap corruption in a loader thread)."""
+    import struct as _struct
+
+    if _load_native() is None:
+        pytest.skip("native EXR codec unavailable")
+    from pcss_unet_tpu.io.exr import _read_channels_native
+
+    h, w = 40, 32
+    chans = {"R": rng.standard_normal((h, w)).astype(np.float32)}
+    # scanline: patch the first chunk's y to far outside the window
+    scan = str(tmp_path / "scan.exr")
+    write_exr(scan, chans, compression=COMP_ZIP)
+    f = exr_py.ExrFile(open(scan, "rb").read())
+    data = bytearray(open(scan, "rb").read())
+    for bad_y in (-1000, h + 5, 2**30):
+        b = bytearray(data)
+        _struct.pack_into("<i", b, f._chunk_offsets[0], bad_y)
+        open(scan, "wb").write(bytes(b))
+        with pytest.raises(IOError, match="out of range"):
+            _read_channels_native(scan, ["R"])
+    # tiled: patch dx to a value whose dx*tile_w overflows int to negative
+    tiled = str(tmp_path / "tiled.exr")
+    write_exr(tiled, chans, compression=COMP_ZIP, tile_size=(16, 16))
+    ft = exr_py.ExrFile(open(tiled, "rb").read())
+    for bad_dx in (0x08000001, 7, -3):
+        b = bytearray(open(tiled, "rb").read())
+        _struct.pack_into("<i", b, ft._chunk_offsets[0], bad_dx)
+        open(tiled, "wb").write(bytes(b))
+        with pytest.raises(IOError, match="tile"):
+            _read_channels_native(tiled, ["R"])
