@@ -244,8 +244,8 @@ def write_exr_multipart(path: str,
 def list_exr_channels(path: str, part: int | str = 0) -> list[str]:
     """Channel names in file (chlist) order — the reference inspects the
     header channel list through ``OpenEXR.InputFile(...).header()``
-    (test.py:8-14, 40-43); this is the header-only equivalent.  Uses the
-    Python parser for both backends (no pixel decode happens)."""
+    (test.py:8-14, 40-43).  Uses the Python parser for both backends; the
+    file is read once but no pixel decode happens (QA-tool path)."""
     if not os.path.exists(path):
         raise IOError(f"EXR file does not exist: {path}")
     with open(path, "rb") as f:

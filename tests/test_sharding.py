@@ -191,3 +191,20 @@ def test_halo_sharded_odd_frame_pads(cpus):
                     mode="reflect")        # same reflect pad the path applies
     ref = np.asarray(eng.run_padded(jnp.asarray(padded)))[:, :200, :70]
     np.testing.assert_allclose(out, ref, atol=5e-7, rtol=0)
+
+
+def test_halo_sharded_fused_acc_shift_bitexact(cpus, monkeypatch):
+    """The acc_shift tap strategy (PCSS_CONVBLOCK_TAPS) survives spatial
+    sharding bit-exactly too — whichever strategy wins on hardware, the
+    multi-chip path runs the same kernels as single-chip."""
+    from pcss_unet_tpu.infer.tiled import infer_sharded_halo
+
+    monkeypatch.setenv("PCSS_CONVBLOCK_TAPS", "acc_shift")
+    eng = _make_engine(dtype=jnp.bfloat16, use_pallas=False, fold_bn=True,
+                      pallas_interpret=True)
+    rng = np.random.default_rng(2)
+    frames = rng.standard_normal((1, 256, 96, 4)).astype(np.float32)
+    ref = np.asarray(eng.run_padded(jnp.asarray(frames)))
+    mesh = make_mesh(4, 2, devices=cpus)
+    out = infer_sharded_halo(eng, frames, mesh)
+    np.testing.assert_array_equal(out, ref)
