@@ -38,7 +38,8 @@ def _device_reachable(attempts: int = 3, timeout_s: int = 240) -> bool:
         except subprocess.TimeoutExpired:
             print(f"device probe {i + 1}/{attempts} timed out "
                   f"({timeout_s}s): backend init is blocking", file=sys.stderr)
-        time.sleep(30)
+        if i < attempts - 1:  # no pointless sleep after the final failure
+            time.sleep(30)
     return False
 
 

@@ -511,10 +511,34 @@ inline bool decompress(const uint8_t* payload, size_t csize,
     std::memcpy(&rule_size, payload + pos, 2);
     if (rule_size < 2) { *err = "DWA: corrupt rules block"; return false; }
     pos += rule_size;
+    if (pos > csize) { *err = "DWA: truncated rules"; return false; }
   }
-  if (pos + unk_csize + ac_csize + dc_csize + rle_csize > csize) {
-    *err = "DWA: segment sizes exceed chunk";
-    return false;
+  // Every header field is corruption-controlled: validate each segment
+  // size against the REMAINING bytes (a naive summed check can wrap
+  // uint64 and pass), and the element counts against what the plane
+  // geometry can actually hold (huge counts would otherwise throw
+  // length_error through the extern-C boundary -> std::terminate).
+  size_t remaining = csize - pos;
+  for (uint64_t seg : {unk_csize, ac_csize, dc_csize, rle_csize}) {
+    if (seg > remaining) {
+      *err = "DWA: segment sizes exceed chunk";
+      return false;
+    }
+    remaining -= seg;
+  }
+  {
+    int nbx_ = (width + 7) / 8, nby_ = (n_lines + 7) / 8;
+    uint64_t bpp = (uint64_t)nbx_ * nby_;
+    uint64_t max_planes = 2 * (uint64_t)channels.size();  // FLOAT = 2 u16
+    // per block: <= 63 AC entries, each at worst one token + one run token
+    if (dc_count > bpp * max_planes ||
+        ac_count > 126 * bpp * max_planes ||
+        unk_usize > (uint64_t)width * n_lines * 4 * channels.size() ||
+        rle_usize > (uint64_t)width * n_lines * 4 * channels.size() ||
+        rle_raw > (uint64_t)width * n_lines * 4 * channels.size()) {
+      *err = "DWA: header counts exceed plane geometry";
+      return false;
+    }
   }
   std::vector<uint8_t> unknown;
   if (unk_csize &&

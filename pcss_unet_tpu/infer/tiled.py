@@ -60,19 +60,29 @@ def infer_sharded_halo(engine: InferenceEngine, frames: np.ndarray, mesh,
     global coefficients) and emits its own rows.  With the default
     halo = spatial_halo(model), the result equals the single-device fused
     forward exactly (pinned in tests/test_sharding.py)."""
-    from pcss_unet_tpu.models.unet import spatial_halo
+    from pcss_unet_tpu.models.unet import spatial_align, spatial_halo
 
     frames = np.asarray(frames, np.float32)
     squeeze = frames.ndim == 3
     if squeeze:
         frames = frames[None]
+    # shard_h (hence every window start) must keep the model's pooling
+    # alignment — 16 only covers depth <= 4 (models/unet.py:spatial_align)
+    align = max(engine.pad_multiple, spatial_align(engine.model))
     if halo is None:
         halo = spatial_halo(engine.model)
+    halo = -(-halo // align) * align   # caller-supplied halos too
     n_sp = mesh.shape["spatial"]
     n_dp = mesh.shape.get("data", 1)
     b, h, w, _ = frames.shape
-    ph = (-h) % (engine.pad_multiple * n_sp)   # shard_h must stay aligned
+    ph = (-h) % (align * n_sp)
     pw = (-w) % engine.pad_multiple
+    if ph >= h:
+        # Frame too small to split n_sp ways (reflect-pad needs pad < H,
+        # and a shard would be mostly padding anyway): run single-device
+        # through the engine's own pad/crop path.
+        out = engine(frames)
+        return out[0] if squeeze else out
     if ph or pw:
         frames = np.pad(frames, ((0, 0), (0, ph), (0, pw), (0, 0)),
                         mode="reflect")

@@ -331,6 +331,11 @@ class ExrFile:
             self.attrs, pos = _read_attrs(data, pos)
             self.part_names = [
                 self.attrs.get("name", ("", b""))[1].decode("latin-1")]
+            # part selection on a single-part file must not silently hand
+            # back part 0 (the multi-part path raises for bad selections)
+            if part != 0 and part != self.part_names[0]:
+                raise ValueError(
+                    f"part {part!r} selected on a single-part file")
             self._n_chunks_forced = None
             self._chunk_prefix = 0
         self.channels = _parse_chlist(self.attrs["channels"][1])

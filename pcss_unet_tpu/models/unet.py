@@ -455,6 +455,16 @@ class UNet(nn.Module):
         return x.astype(orig_dtype) if orig_dtype == jnp.float32 else x
 
 
+def spatial_align(model: UNet) -> int:
+    """Input-resolution row alignment every window offset must keep for
+    window-exact sharded inference: the window start s must satisfy
+    s/2 ≡ 0 (mod 2^(depth-1)) so each pooling level tiles cleanly and the
+    global-coefficient resize offsets (``a_half // scale``) divide without
+    truncation — i.e. s ≡ 0 (mod 2^depth).  16 for the depth-3/4 nets,
+    32 for depth-5, 128 for depth-7."""
+    return max(16, 2 ** len(model.encoder_widths))
+
+
 def spatial_halo(model: UNet) -> int:
     """Input-resolution halo rows guaranteeing window-exact outputs under
     spatially-sharded inference (infer/tiled.py:infer_sharded_halo).
@@ -462,8 +472,9 @@ def spatial_halo(model: UNet) -> int:
     Receptive-field radius of the trunk in half-res rows: one 3×3 conv per
     ConvBlock (radius = level scale × dilation), encoder + bottleneck +
     mirrored decoder, plus the head-resize matrix band (≤3) and dec_final's
-    3×3 (1).  Doubled to input resolution and rounded up to the 16-row
-    pooling/unshuffle alignment the window offsets must keep."""
+    3×3 (1).  Doubled to input resolution and rounded up to the model's
+    pooling/unshuffle alignment (``spatial_align`` — 16 only suffices
+    through depth 4; deeper nets need coarser window offsets)."""
     d = len(model.encoder_widths)
     r = 0
     for k in range(d - 1):                       # encoder levels
@@ -473,7 +484,8 @@ def spatial_halo(model: UNet) -> int:
     r += sum(2 ** k for k in range(d - 1))       # decoder mirror
     r += 3 + 1                                   # head band + dec_final
     r *= 2                                       # half-res → input rows
-    return -(-r // 16) * 16
+    a = spatial_align(model)
+    return -(-r // a) * a
 
 
 def unet_from_config(cfg) -> UNet:

@@ -79,6 +79,15 @@ class CheckpointManagerWrapper:
         }
         stale = self._steps_for_epoch(epoch)
         sub = (stale[-1] % self._SUBKEYS + 1) if stale else 0
+        if sub >= self._SUBKEYS:
+            # pathological: the epoch was re-saved _SUBKEYS times.  The key
+            # must NOT spill into epoch+1's range (it would corrupt epoch
+            # addressing); free the top key first — the older stale saves
+            # remain on disk as fallback through this narrow window.
+            self.manager.delete(stale[-1])
+            self.manager.wait_until_finished()
+            stale = stale[:-1]
+            sub = self._SUBKEYS - 1
         self.manager.save(
             epoch * self._SUBKEYS + sub, args=ocp.args.StandardSave(payload),
             metrics=None if mid_epoch

@@ -1205,3 +1205,25 @@ def test_corrupt_chunk_coordinates_rejected(tmp_path, rng):
         open(tiled, "wb").write(bytes(b))
         with pytest.raises(IOError, match="tile"):
             _read_channels_native(tiled, ["R"])
+
+
+def test_single_part_selection_rejected(tmp_path, rng):
+    """Selecting a nonzero/wrong-name part on a single-part file raises in
+    BOTH codecs instead of silently returning part 0."""
+    chans = {"R": rng.random((6, 8)).astype(np.float32)}
+    path = str(tmp_path / "sp.exr")
+    write_exr(path, chans)
+    with pytest.raises(ValueError, match="single-part"):
+        exr_py.read_exr_channels_py(path, ["R"], part=2)
+    with pytest.raises(ValueError, match="single-part"):
+        exr_py.read_exr_channels_py(path, ["R"], part="depth")
+    if _load_native() is not None:
+        from pcss_unet_tpu.io.exr import _read_channels_native
+
+        with pytest.raises(IOError, match="single-part"):
+            _read_channels_native(path, ["R"], part=1)
+        with pytest.raises(IOError, match="single-part"):
+            _read_channels_native(path, ["R"], part="depth")
+    # the public dispatcher surfaces the python codec's error
+    with pytest.raises(ValueError, match="single-part"):
+        read_exr_channels(path, ["R"], part=1)

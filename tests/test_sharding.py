@@ -208,3 +208,30 @@ def test_halo_sharded_fused_acc_shift_bitexact(cpus, monkeypatch):
     mesh = make_mesh(4, 2, devices=cpus)
     out = infer_sharded_halo(eng, frames, mesh)
     np.testing.assert_array_equal(out, ref)
+
+
+def test_halo_sharded_depth5_alignment(cpus):
+    """Deep models need coarser window alignment: a depth-5 net's window
+    starts must be multiples of 2^5 (spatial_align) — the old fixed 16-row
+    rounding put the global resize offsets at truncated rows and returned
+    silently wrong pixels on shards whose start-halo was ≡16 (mod 32)."""
+    from pcss_unet_tpu.infer.frame import InferenceEngine
+    from pcss_unet_tpu.infer.tiled import infer_sharded_halo
+    from pcss_unet_tpu.models.unet import spatial_align, spatial_halo
+
+    model = UNet(encoder_widths=(8, 8, 16, 16, 32), dtype=jnp.float32)
+    x0 = jnp.zeros((1, 64, 64, 4), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    variables = model.init({"params": key, "dropout": key}, x0, False)
+    eng = InferenceEngine(model, variables, means=np.zeros(4, np.float32),
+                          stds=np.ones(4, np.float32), dtype=jnp.float32)
+    assert spatial_align(model) == 32
+    assert spatial_halo(model) % 32 == 0
+    rng = np.random.default_rng(4)
+    # H large enough that windows are PROPER subsets (ext < H) so the
+    # offset math actually engages
+    frames = rng.standard_normal((1, 1024, 64, 4)).astype(np.float32)
+    ref = np.asarray(eng.run_padded(jnp.asarray(frames)))
+    mesh = make_mesh(2, 4, devices=cpus)
+    out = infer_sharded_halo(eng, frames, mesh)
+    np.testing.assert_allclose(out, ref, atol=5e-7, rtol=0)
