@@ -29,7 +29,10 @@ def export_inference(engine, height: int, width: int, batch: int = 1,
     batch_stats = engine.batch_stats
 
     def fwd(frames):
-        return engine._forward(params, batch_stats, frames)
+        # plain graph: the fused posture embeds Pallas TPU custom calls,
+        # which neither lower for non-TPU platforms nor honor the promise
+        # of a self-contained StableHLO blob — export stays portable
+        return engine._forward(params, batch_stats, frames, plain=True)
 
     spec = jax.ShapeDtypeStruct((batch, height, width, 4), jnp.float32)
     exported = jax_export.export(jax.jit(fwd), platforms=list(platforms))(spec)

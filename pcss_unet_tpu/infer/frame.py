@@ -156,27 +156,40 @@ class InferenceEngine:
                                                     plain=True))
         self._sharded_cache: dict = {}
 
+    def _preprocess(self, x, fused: bool):
+        """Input scrub + standardization (inference.py:171-173).  ONE source
+        of truth for the single-device and shard_map paths — the window-
+        exactness tests pin that both agree bit-for-bit.  ``fused`` selects
+        the Pallas scrub+standardize kernel; pass False for graphs the SPMD
+        partitioner must split (it cannot shard a custom call)."""
+        x = x.astype(jnp.float32)
+        if fused and self.use_pallas and self.means is not None:
+            # one fused pass: scrub + standardize (ops/pallas/fused.py)
+            from pcss_unet_tpu.ops.pallas import fused_scrub_standardize
+
+            return fused_scrub_standardize(x, self.means, self.stds,
+                                           out_dtype=jnp.float32)
+        x = jnp.nan_to_num(x, nan=0.0, posinf=1.0, neginf=0.0)
+        if self.means is not None:
+            x = (x - self.means) / (self.stds + 1e-8)
+        return x
+
+    @staticmethod
+    def _postprocess(out):
+        """Output scrub + clip (inference.py:200-202)."""
+        out = jnp.nan_to_num(out.astype(jnp.float32), nan=0.0, posinf=1.0,
+                             neginf=0.0)
+        return jnp.clip(out, 0.0, 1.0)
+
     def _forward(self, params, batch_stats, x, plain: bool = False):
         # plain=True must yield a graph with NO Pallas custom calls (the
         # SPMD partitioner cannot shard them) — so the fused scrub pre-pass
         # is gated on it too, not just the model body.
-        if self.use_pallas and not plain and self.means is not None:
-            # one fused pass: scrub + standardize (ops/pallas/fused.py)
-            from pcss_unet_tpu.ops.pallas import fused_scrub_standardize
-
-            x = fused_scrub_standardize(x.astype(jnp.float32), self.means,
-                                        self.stds, out_dtype=jnp.float32)
-        else:
-            x = jnp.nan_to_num(x.astype(jnp.float32), nan=0.0, posinf=1.0,
-                               neginf=0.0)  # inference.py:171-173
-            if self.means is not None:
-                x = (x - self.means) / (self.stds + 1e-8)
+        x = self._preprocess(x, fused=not plain)
         model = self.plain_model if plain else self.model
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           x, False)
-        out = jnp.nan_to_num(out.astype(jnp.float32), nan=0.0, posinf=1.0,
-                             neginf=0.0)  # inference.py:200-202
-        return jnp.clip(out, 0.0, 1.0)
+        return self._postprocess(out)
 
     def build_sharded_forward(self, mesh, halo: int, shard_batch: bool):
         """Jitted spatially-sharded forward that KEEPS the engine's Pallas/
@@ -209,21 +222,11 @@ class InferenceEngine:
                 start = (i * shard_h).astype(jnp.int32)
                 s = jnp.clip(start - halo, 0, H - ext)
                 win = jax.lax.dynamic_slice_in_dim(xf, s, ext, axis=1)
-                win = win.astype(jnp.float32)
-                if self.use_pallas and self.means is not None:
-                    from pcss_unet_tpu.ops.pallas import fused_scrub_standardize
-
-                    win = fused_scrub_standardize(win, self.means, self.stds,
-                                                  out_dtype=jnp.float32)
-                else:
-                    win = jnp.nan_to_num(win, nan=0.0, posinf=1.0, neginf=0.0)
-                    if self.means is not None:
-                        win = (win - self.means) / (self.stds + 1e-8)
+                # fused=True: per-shard kernels are the point of this path
+                win = self._preprocess(win, fused=True)
                 out = model_w.apply({"params": p, "batch_stats": bs},
                                     win, False, window_offset=s)
-                out = jnp.nan_to_num(out.astype(jnp.float32), nan=0.0,
-                                     posinf=1.0, neginf=0.0)
-                out = jnp.clip(out, 0.0, 1.0)
+                out = self._postprocess(out)
                 return jax.lax.dynamic_slice_in_dim(out, start - s, shard_h,
                                                     axis=1)
 

@@ -62,6 +62,7 @@ class ShadowServer:
 
         paths = list(paths)
         stats = ServerStats()
+        stats_lock = threading.Lock()
         t_wall = time.perf_counter()
         decoded: queue.Queue = queue.Queue(maxsize=self.queue_depth)
 
@@ -70,15 +71,18 @@ class ShadowServer:
             path_q.put((i, p))
 
         def decoder():
+            spent = 0.0   # accumulate locally; += on stats would race
             while True:
                 try:
                     i, p = path_q.get_nowait()
                 except queue.Empty:
+                    with stats_lock:
+                        stats.decode_seconds += spent
                     return
                 try:
                     t0 = time.perf_counter()
                     frame = read_exr_stack(p)
-                    stats.decode_seconds += time.perf_counter() - t0
+                    spent += time.perf_counter() - t0
                     decoded.put((i, p, frame))
                 except Exception as e:  # noqa: BLE001 - skip policy
                     logging.warning("serve: skipping %s: %s", p, e)
@@ -91,7 +95,6 @@ class ShadowServer:
 
         pending: list[tuple[int, str, np.ndarray]] = []
         inflight: list[tuple[list, object, tuple]] = []
-        results: dict[int, tuple[str, np.ndarray]] = {}
 
         def flush_batch():
             if not pending:
@@ -106,12 +109,15 @@ class ShadowServer:
             pending.clear()
 
         def drain(block_all: bool = False):
-            # keep ≤2 batches in flight: the device queue double-buffers
+            # keep ≤2 batches in flight: the device queue double-buffers.
+            # Masks flush to sink as each batch syncs — memory stays
+            # O(queue_depth + batches-in-flight), never O(len(paths)).
             while inflight and (block_all or len(inflight) > 2):
                 metas, out, (h, w) = inflight.pop(0)
                 masks = np.asarray(out)[:, :h, :w, :]  # syncs this batch
                 for (i, p), mask in zip(metas, masks):
-                    results[i] = (p, mask)
+                    sink(p, mask)
+                    stats.frames += 1
 
         for _ in range(len(paths)):
             i, p, frame = decoded.get()
@@ -125,11 +131,6 @@ class ShadowServer:
         drain(block_all=True)
         for w in workers:
             w.join(timeout=5)
-
-        for i in sorted(results):
-            p, mask = results[i]
-            sink(p, mask)
-        stats.frames = len(results)
         stats.wall_seconds = time.perf_counter() - t_wall
         logging.info("served %d frames in %.2fs (%.1f fps; decode %.2fs, "
                      "dispatch %.2fs)", stats.frames, stats.wall_seconds,

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from pcss_unet_tpu.infer.frame import InferenceEngine, pad_to_multiple
+from pcss_unet_tpu.infer.frame import InferenceEngine
 
 
 def infer_sharded(engine: InferenceEngine, frames: np.ndarray, mesh) -> np.ndarray:
@@ -44,9 +44,25 @@ def infer_sharded(engine: InferenceEngine, frames: np.ndarray, mesh) -> np.ndarr
     squeeze = frames.ndim == 3
     if squeeze:
         frames = frames[None]
-    padded, (h, w) = pad_to_multiple(frames, engine.pad_multiple)
-    sharding = NamedSharding(mesh, P("data", "spatial"))
-    x = jax.device_put(padded, sharding)
+    b, h, w, _ = frames.shape
+    n_sp = mesh.shape["spatial"]
+    n_dp = mesh.shape.get("data", 1)
+    # device_put needs every sharded axis divisible by its mesh axis: pad H
+    # to a multiple of pad_multiple·n_sp, and only shard batch over 'data'
+    # when it divides evenly (b=1 single-frame calls stay replicated).
+    ph = (-h) % (engine.pad_multiple * n_sp)
+    pw = (-w) % engine.pad_multiple
+    if ph >= h:
+        # frame too small to split n_sp ways (reflect-pad needs pad < H):
+        # run single-device through the engine's own pad/crop path
+        out = engine(frames)
+        return out[0] if squeeze else out
+    if ph or pw:
+        frames = np.pad(frames, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                        mode="reflect")
+    bspec = "data" if b % n_dp == 0 else None
+    sharding = NamedSharding(mesh, P(bspec, "spatial"))
+    x = jax.device_put(frames, sharding)
     # plain graph: the SPMD partitioner can't split a Pallas custom call
     out = np.asarray(engine.run_padded(x, plain=True))[:, :h, :w, :]
     return out[0] if squeeze else out
@@ -76,7 +92,10 @@ def infer_sharded_halo(engine: InferenceEngine, frames: np.ndarray, mesh,
     n_dp = mesh.shape.get("data", 1)
     b, h, w, _ = frames.shape
     ph = (-h) % (align * n_sp)
-    pw = (-w) % engine.pad_multiple
+    # W must keep the model's pooling alignment too: window mode has no
+    # resize fixup, so a 16-aligned-but-not-2^depth-aligned width would
+    # fail inside UNet.__call__ for depth >= 5 models
+    pw = (-w) % align
     if ph >= h:
         # Frame too small to split n_sp ways (reflect-pad needs pad < H,
         # and a shard would be mostly padding anyway): run single-device

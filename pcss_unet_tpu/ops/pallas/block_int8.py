@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pcss_unet_tpu.ops.pallas.taps import conv3x3_band_taps
+
 
 def _quant(v, scale):
     return jnp.clip(jnp.round(v / scale), -127, 127).astype(jnp.int8)
@@ -63,22 +65,7 @@ def _kernel(prev_ref, cur_ref, next_ref, w1_ref, s1_ref, b1_ref,
          _quant(cur.astype(jnp.float32), a1),
          _quant(next_row.astype(jnp.float32), a1)], axis=0)  # [k+2, W, C]
 
-    c = cur.shape[2]
-    acc = jnp.zeros((k_rows * w, c), jnp.int32)
-    zcol = jnp.zeros((k_rows, 1, c), jnp.int8)
-    for dy in range(3):
-        rows = extq[dy: dy + k_rows]
-        for dx in (-1, 0, 1):
-            if dx == 0:
-                tap = rows
-            elif dx == 1:
-                tap = jnp.concatenate([rows[:, 1:, :], zcol], axis=1)
-            else:
-                tap = jnp.concatenate([zcol, rows[:, :-1, :]], axis=1)
-            acc += jax.lax.dot_general(
-                tap.reshape(k_rows * w, -1), w1_ref[dy * 3 + dx + 1],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
+    acc = conv3x3_band_taps(extq, w1_ref, k_rows, jnp.int32)
     h = acc.astype(jnp.float32) * (a1 * s1_ref[0]) + b1_ref[0]
     h = jnp.where(h >= 0, h, h * negative_slope).astype(jnp.bfloat16)
 
@@ -195,23 +182,7 @@ def _kchunk_kernel(prev_ref, cur_ref, next_ref, w1_ref, s1_ref, b1_ref,
          _quant(cur.astype(jnp.float32), a1),
          _quant(next_row.astype(jnp.float32), a1)], axis=0)
 
-    cchunk = cur.shape[2]
-    cmid = w1_ref.shape[2]
-    part = jnp.zeros((k_rows * w, cmid), jnp.int32)
-    zcol = jnp.zeros((k_rows, 1, cchunk), jnp.int8)
-    for dy in range(3):
-        rows = extq[dy: dy + k_rows]
-        for dx in (-1, 0, 1):
-            if dx == 0:
-                tap = rows
-            elif dx == 1:
-                tap = jnp.concatenate([rows[:, 1:, :], zcol], axis=1)
-            else:
-                tap = jnp.concatenate([zcol, rows[:, :-1, :]], axis=1)
-            part += jax.lax.dot_general(
-                tap.reshape(k_rows * w, -1), w1_ref[dy * 3 + dx + 1],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
+    part = conv3x3_band_taps(extq, w1_ref, k_rows, jnp.int32)
 
     # fp32 accumulation across C chunks (each chunk has its own a1 scale)
     @pl.when(j == 0)

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pcss_unet_tpu.ops.pallas.taps import conv3x3_band_taps
+
 
 def _kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             out_ref, *, k_rows: int, negative_slope: float,
@@ -48,23 +50,7 @@ def _kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                            next_first)
     ext = jnp.concatenate([prev_last, cur_ref[0], next_first], axis=0)
 
-    cmid = w1_ref.shape[2]
-    acc = jnp.zeros((k_rows * w, cmid), jnp.float32)
-    zcol = jnp.zeros((k_rows, 1, ext.shape[2]), dt)
-    for dy in range(3):
-        rows = ext[dy: dy + k_rows]
-        for dx in (-1, 0, 1):
-            if dx == 0:
-                tap = rows
-            elif dx == 1:
-                tap = jnp.concatenate([rows[:, 1:, :], zcol], axis=1)
-            else:
-                tap = jnp.concatenate([zcol, rows[:, :-1, :]], axis=1)
-            acc += jax.lax.dot_general(
-                tap.reshape(k_rows * w, -1).astype(dt),
-                w1_ref[dy * 3 + dx + 1].astype(dt),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+    acc = conv3x3_band_taps(ext, w1_ref, k_rows, jnp.float32, cast=dt)
     h = acc + b1_ref[0]
     h = jnp.where(h >= 0, h, h * negative_slope).astype(dt)
     out = jax.lax.dot_general(

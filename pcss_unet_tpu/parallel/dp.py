@@ -39,6 +39,15 @@ def build_explicit_dp_train_step(cfg, bundle: LossBundle, means, stds,
     with ``bn_axis_name='data'`` so BatchNorm cross-replica-means its batch
     statistics (sync-BN, matching the reference's whole-batch BN semantics
     on one device — SURVEY.md §7 hard-part 3)."""
+    if (getattr(model, "normalization", "batch_norm") == "batch_norm"
+            and getattr(model, "bn_axis_name", None) != "data"):
+        # without sync-BN each device computes batch_stats from its local
+        # shard only; the replicated out_spec would silently keep one
+        # device's (wrong) statistics — same guard as the ZeRO-1 builders
+        raise ValueError(
+            "build_explicit_dp_train_step requires the model constructed "
+            "with bn_axis_name='data' (sync-BN); got "
+            f"bn_axis_name={getattr(model, 'bn_axis_name', None)!r}")
     means = jnp.asarray(means, jnp.float32)
     stds = jnp.asarray(stds, jnp.float32)
 
