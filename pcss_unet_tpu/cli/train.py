@@ -97,7 +97,12 @@ def main(argv=None) -> None:
         logging.info("auto-selected batch_size=%d", cfg.batch_size)
 
     from pcss_unet_tpu.models.vgg import vgg_weights_provenance
+    from pcss_unet_tpu.train.checkpoint import check_resume_compat
 
+    if cfg.resume:
+        # before resolved_config.json is overwritten below: refuse to
+        # auto-resume into checkpoints from a structurally different run
+        check_resume_compat(cfg, cfg.save_dir)
     save_config(cfg, f"{cfg.save_dir}/resolved_config.json",
                 extra={"vgg_weights":
                        vgg_weights_provenance(cfg.vgg_weights_path)})

@@ -16,6 +16,7 @@ nothing.  This manager is a superset:
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 from typing import Any
@@ -25,6 +26,51 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 from pcss_unet_tpu.train.state import TrainState
+
+# Config keys that shape the checkpointed tree structure: params
+# (depth/width/channels/normalization decide the layer tree) and opt_state
+# (optimizer_type decides the optax state).  A resume across a change in
+# any of these cannot restore — Orbax fails with a raw tree-mismatch dump,
+# so we detect it up front and say what actually changed.
+RESUME_STRUCTURE_KEYS = ("model_depth", "base_width", "input_channels",
+                         "output_channels", "normalization",
+                         "optimizer_type")
+
+
+def has_checkpoints(directory: str) -> bool:
+    """True if ``directory`` holds at least one Orbax step directory."""
+    try:
+        return any(e.isdigit() and os.path.isdir(os.path.join(directory, e))
+                   for e in os.listdir(directory))
+    except OSError:
+        return False
+
+
+def check_resume_compat(cfg, directory: str) -> None:
+    """Fail fast when resuming into a ``save_dir`` whose checkpoints were
+    written by a structurally different run (different model variant or
+    optimizer).  Reads the ``resolved_config.json`` the training CLI leaves
+    next to the checkpoints — call this BEFORE overwriting that file with
+    the current run's config.  No-op when there is nothing to resume from
+    or no recorded config to compare against."""
+    path = os.path.join(directory, "resolved_config.json")
+    if not os.path.exists(path) or not has_checkpoints(directory):
+        return
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+    except (OSError, json.JSONDecodeError, UnicodeDecodeError):
+        return  # unreadable provenance file — let restore() decide
+    diffs = [(k, prev[k], getattr(cfg, k)) for k in RESUME_STRUCTURE_KEYS
+             if k in prev and prev[k] != getattr(cfg, k)]
+    if diffs:
+        detail = "; ".join(f"{k}: checkpoint={a!r}, current={b!r}"
+                           for k, a, b in diffs)
+        raise ValueError(
+            f"resume mismatch: the checkpoints under {directory} were "
+            f"written by a run with a different model/optimizer structure "
+            f"({detail}). Pass --no_resume (resume=false) to train from "
+            f"scratch in place, or point save_dir at a fresh directory.")
 
 
 class CheckpointManagerWrapper:

@@ -27,7 +27,8 @@ from pcss_unet_tpu.losses import LossBundle, PerceptualLoss
 from pcss_unet_tpu.parallel.mesh import (
     batch_sharding, make_mesh, replicate_sharding,
 )
-from pcss_unet_tpu.train.checkpoint import CheckpointManagerWrapper
+from pcss_unet_tpu.train.checkpoint import (CheckpointManagerWrapper,
+                                            check_resume_compat)
 from pcss_unet_tpu.train.metrics import (
     log_image_grid, log_loss_scalars, make_writer,
 )
@@ -148,7 +149,22 @@ def fit(cfg, model, train_loader: Loader, val_loader: Loader | None = None,
         ckpt = CheckpointManagerWrapper(checkpoint_dir or cfg.save_dir,
                                         max_to_keep=cfg.max_checkpoints_to_keep)
         if cfg.resume and ckpt.latest_epoch() is not None:
-            state, cursor = ckpt.restore(state)
+            check_resume_compat(cfg, ckpt.directory)
+            try:
+                state, cursor = ckpt.restore(state)
+            except FileNotFoundError:
+                raise
+            except Exception as e:
+                # surface Orbax's tree-mismatch (or corruption) with the
+                # action the user actually needs, keeping the original
+                # error chained below it
+                raise RuntimeError(
+                    f"resume from {ckpt.directory} failed: the latest "
+                    f"checkpoint does not restore into the configured "
+                    f"model/optimizer (did the config change since it was "
+                    f"saved?). Pass --no_resume (resume=false) to train "
+                    f"from scratch in place, or use a fresh save_dir. "
+                    f"Original error: {type(e).__name__}") from e
             last = int(ckpt.latest_epoch())
             if 0 <= cursor < steps_per_epoch:
                 # mid-epoch preemption save: pick up at the next batch of

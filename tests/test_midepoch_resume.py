@@ -94,3 +94,38 @@ def test_no_replayed_or_skipped_batches(tmp_path, cpus):
     plan1 = loader2.epoch_indices(1)
     np.testing.assert_array_equal(np.concatenate(ds2.gathered[2:6]),
                                   plan1.ravel())
+
+
+def test_resume_compat_guard(tmp_path):
+    """Auto-resuming into a save_dir whose checkpoints came from a
+    structurally different run fails fast with the actual config diff, not
+    a raw Orbax tree-mismatch dump (found live: a stale save_dir from a
+    group_norm run made `cli.train` crash with pages of array reprs)."""
+    import json
+
+    import pytest
+
+    from pcss_unet_tpu.train.checkpoint import check_resume_compat
+
+    ckdir = tmp_path / "ck"
+    ckdir.mkdir()
+    prev = Config(base_width=16, normalization="group_norm")
+    with open(ckdir / "resolved_config.json", "w") as f:
+        json.dump(prev.to_dict(), f)
+
+    cur = Config(base_width=64, normalization="batch_norm")
+
+    # no checkpoint step dirs yet -> nothing to resume from -> no-op
+    check_resume_compat(cur, str(ckdir))
+
+    (ckdir / "0").mkdir()  # Orbax integer step directory
+    with pytest.raises(ValueError, match="base_width.*16.*64"):
+        check_resume_compat(cur, str(ckdir))
+
+    # matching structure (other keys may differ freely) -> passes
+    check_resume_compat(prev.replace(learning_rate=1e-3, batch_size=2),
+                        str(ckdir))
+
+    # non-structural key changes never block resume
+    check_resume_compat(cur.replace(base_width=16,
+                                    normalization="group_norm"), str(ckdir))
