@@ -201,10 +201,18 @@ class InferenceEngine:
         concatenated output equals the single-device forward exactly.
 
         → fn(params, batch_stats, x) with x [B, H, W, C] replicated over
-        'spatial' (sharded over 'data' iff shard_batch); H must be a
-        multiple of mesh['spatial'] · pad_multiple."""
+        'spatial' (sharded over 'data' iff shard_batch).  H must be a
+        multiple of mesh['spatial'] · spatial_align(model) and W of
+        spatial_align(model) — validated at trace time (16 only covers
+        depth ≤ 4; a misaligned window start would silently truncate the
+        global resize coefficients).  ``halo`` is rounded up to the
+        alignment."""
         from jax.sharding import PartitionSpec as P
 
+        from pcss_unet_tpu.models.unet import spatial_align
+
+        align = max(self.pad_multiple, spatial_align(self.model))
+        halo = -(-halo // align) * align
         key = (mesh, halo, shard_batch)
         fn = self._sharded_cache.get(key)
         if fn is not None:
@@ -213,6 +221,11 @@ class InferenceEngine:
 
         def fwd(params, batch_stats, x):
             B, H, W, C = x.shape
+            if H % (n_sp * align) or W % align:
+                raise ValueError(
+                    f"sharded forward needs H divisible by n_spatial·align "
+                    f"({n_sp}·{align}) and W by {align}; got H={H}, W={W} "
+                    f"(pad first — infer_sharded_halo does this)")
             shard_h = H // n_sp
             ext = min(H, shard_h + 2 * halo)
             model_w = self.model.clone(spatial_window=(H, W))

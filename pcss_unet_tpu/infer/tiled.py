@@ -8,8 +8,14 @@ the framework's analogue of sequence parallelism for a convolutional model
 1. ``infer_sharded`` — the TPU-native way: one jitted forward with the frame
    H-sharded over the mesh's 'spatial' axis.  XLA's SPMD partitioner inserts
    the conv halo exchanges over ICI automatically; numerics are identical to
-   single-device (proven in tests/test_sharding.py).  Preferred whenever the
-   whole (padded) frame fits per-chip HBM ÷ spatial_parallel.
+   the single-device forward on the SAME padded frame (pinned in
+   tests/test_sharding.py).  Note the sharded paths pad H up to a multiple
+   of n_spatial·align rather than the engine's minimal ×16, so for frames
+   whose H is not already so aligned, output rows within the model's
+   receptive field of the bottom edge see a longer reflected border than
+   ``engine(frames)`` would give them — a boundary-condition choice, not an
+   approximation.  Preferred whenever the whole (padded) frame fits
+   per-chip HBM ÷ spatial_parallel.
 
 2. ``infer_tiled`` — explicit overlapping tiles with feathered blending, for
    frames exceeding HBM or when running many tiles as one MXU-friendly
@@ -54,7 +60,9 @@ def infer_sharded(engine: InferenceEngine, frames: np.ndarray, mesh) -> np.ndarr
     pw = (-w) % engine.pad_multiple
     if ph >= h:
         # frame too small to split n_sp ways (reflect-pad needs pad < H):
-        # run single-device through the engine's own pad/crop path
+        # run single-device through the engine's own pad/crop path — this
+        # keeps the engine's kernel posture and minimal ×16 padding, i.e.
+        # plain single-device numerics rather than the sharded graph's
         out = engine(frames)
         return out[0] if squeeze else out
     if ph or pw:
@@ -87,7 +95,7 @@ def infer_sharded_halo(engine: InferenceEngine, frames: np.ndarray, mesh,
     align = max(engine.pad_multiple, spatial_align(engine.model))
     if halo is None:
         halo = spatial_halo(engine.model)
-    halo = -(-halo // align) * align   # caller-supplied halos too
+    # (build_sharded_forward rounds halo up to the alignment itself)
     n_sp = mesh.shape["spatial"]
     n_dp = mesh.shape.get("data", 1)
     b, h, w, _ = frames.shape

@@ -126,14 +126,24 @@ class CheckpointManagerWrapper:
         stale = self._steps_for_epoch(epoch)
         sub = (stale[-1] % self._SUBKEYS + 1) if stale else 0
         if sub >= self._SUBKEYS:
-            # pathological: the epoch was re-saved _SUBKEYS times.  The key
-            # must NOT spill into epoch+1's range (it would corrupt epoch
-            # addressing); free the top key first — the older stale saves
-            # remain on disk as fallback through this narrow window.
-            self.manager.delete(stale[-1])
-            self.manager.wait_until_finished()
-            stale = stale[:-1]
-            sub = self._SUBKEYS - 1
+            # pathological: the epoch's sub-key counter wrapped (re-saved
+            # _SUBKEYS times).  The key must NOT spill into epoch+1's range
+            # (it would corrupt epoch addressing) — reuse the LOWEST free
+            # sub-key instead, keeping the never-delete-before-write
+            # invariant (a crash before the new save commits still leaves
+            # the previous save restorable; it merely stays 'latest' until
+            # the post-commit cleanup below removes it).
+            used = {s % self._SUBKEYS for s in stale}
+            sub = next((i for i in range(self._SUBKEYS) if i not in used),
+                       None)
+            if sub is None:
+                # every sub-key occupied — only reachable if the cleanup
+                # deletes below failed _SUBKEYS times in a row.  Free the
+                # OLDEST save (the newest stays on disk throughout).
+                self.manager.delete(stale[0])
+                self.manager.wait_until_finished()
+                sub = stale[0] % self._SUBKEYS
+                stale = stale[1:]
         self.manager.save(
             epoch * self._SUBKEYS + sub, args=ocp.args.StandardSave(payload),
             metrics=None if mid_epoch
