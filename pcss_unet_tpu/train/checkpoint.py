@@ -144,10 +144,21 @@ class CheckpointManagerWrapper:
                 self.manager.wait_until_finished()
                 sub = stale[0] % self._SUBKEYS
                 stale = stale[1:]
-        self.manager.save(
+        # force=True: this wrapper owns the save policy.  Without it Orbax
+        # SILENTLY SKIPS any step <= its latest_step — which both the wrap
+        # path above (reused low sub-key) and a re-save after resuming from
+        # an older epoch hit — and the stale cleanup below would then delete
+        # the only real checkpoint.
+        saved = self.manager.save(
             epoch * self._SUBKEYS + sub, args=ocp.args.StandardSave(payload),
             metrics=None if mid_epoch
-            else {k: float(v) for k, v in metrics.items()})
+            else {k: float(v) for k, v in metrics.items()},
+            force=True)
+        if saved is False:
+            raise RuntimeError(
+                f"Orbax skipped the save for epoch {epoch} (step key "
+                f"{epoch * self._SUBKEYS + sub}); refusing to clean up "
+                f"prior saves")
         if stale:
             # remove superseded saves of this epoch only once the new one
             # is durably committed (no delete→save loss window)

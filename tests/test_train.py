@@ -188,3 +188,68 @@ def test_optimizer_variants():
         assert np.isfinite(np.asarray(updates["w"])).all()
     with pytest.raises(ValueError):
         make_optimizer(tiny_cfg(optimizer_type="bogus"), 4)
+
+
+def test_checkpoint_subkey_wrap_never_deletes_before_write(tmp_path, setup):
+    """The epoch sub-key counter wraps after _SUBKEYS re-saves of one epoch
+    (repeated mid-epoch preemptions).  The wrap must (a) stay inside the
+    epoch's key range, (b) reuse a free sub-key rather than delete the
+    still-newest save first — a SIGKILL at any instant leaves a restorable
+    checkpoint — and (c) keep restore pointing at the newest payload once
+    the post-commit cleanup runs."""
+    cfg, model, _, _, _, _, _, _, _ = setup
+    mgr = CheckpointManagerWrapper(str(tmp_path / "ckpt"), max_to_keep=3)
+    mgr._SUBKEYS = 4  # make the wrap reachable
+
+    calls = []
+    real_save, real_delete = mgr.manager.save, mgr.manager.delete
+    mgr.manager.save = lambda *a, **k: (calls.append(("save", a[0])),
+                                        real_save(*a, **k))[1]
+    mgr.manager.delete = lambda s: (calls.append(("delete", s)),
+                                    real_delete(s))[1]
+
+    state = create_train_state(model, cfg, 4, (2, 16, 16, 4))
+    for i in range(6):   # 6 > _SUBKEYS: forces the wrap on save #5
+        state = state.replace(step=state.step + 1)
+        mgr.save(state, {}, epoch=0, cursor_batch=i)
+        mgr.wait()
+        steps = mgr.manager.all_steps() or []
+        # (a) never spills into epoch 1's key range
+        assert all(0 <= s < 4 for s in steps), steps
+        assert mgr.latest_epoch() == 0
+
+    # (b) on every save, the new write committed before any delete ran
+    for n, (op, key) in enumerate(calls):
+        if op == "delete":
+            saved_before = [k for o, k in calls[:n] if o == "save"]
+            assert saved_before and key != saved_before[-1]
+
+    # (c) the surviving checkpoint is the 6th (newest) payload
+    fresh = create_train_state(model, cfg, 4, (2, 16, 16, 4), seed=9)
+    restored, cursor = mgr.restore(fresh)
+    assert int(restored.step) == int(state.step)
+    assert cursor == 5
+    # epoch addressing still intact after the wrap
+    mgr.save(state, {"val_loss": 0.3}, epoch=1)
+    mgr.wait()
+    assert mgr.latest_epoch() == 1
+    mgr.close()
+
+
+def test_checkpoint_resave_older_epoch_not_skipped(tmp_path, setup):
+    """After resuming from an older epoch (e.g. best-val rollback), the next
+    save targets a step key below Orbax's latest_step — which Orbax silently
+    skips unless forced.  The wrapper must still durably write it."""
+    cfg, model, _, _, _, _, _, _, _ = setup
+    mgr = CheckpointManagerWrapper(str(tmp_path / "ckpt"), max_to_keep=5)
+    state = create_train_state(model, cfg, 4, (2, 16, 16, 4))
+    mgr.save(state, {"val_loss": 0.5}, epoch=0)
+    mgr.save(state, {"val_loss": 0.4}, epoch=2)
+    mgr.wait()
+    state = state.replace(step=state.step + 7)
+    mgr.save(state, {"val_loss": 0.45}, epoch=1)   # rollback re-save
+    mgr.wait()
+    fresh = create_train_state(model, cfg, 4, (2, 16, 16, 4), seed=9)
+    restored, _ = mgr.restore(fresh, epoch=1)
+    assert int(restored.step) == int(state.step)
+    mgr.close()
