@@ -2,39 +2,52 @@
 
 The reference reads EXRs through the OpenEXR bindings (setdata.py:42),
 which accept DWA-compressed files transparently; DWAA is a common modern
-renderer default.  This module implements the DWA scheme from the OpenEXR
-file-format specification for the pure-Python codec (io/exr_py.py), with
-the same from-the-spec discipline as io/piz.py:
+renderer default.  This module implements the DWA scheme for the
+pure-Python codec (io/exr_py.py); every format decision below is pinned
+against real libOpenEXR 3.1 output byte-for-byte by
+tests/test_exr_interop.py (via tests/oracle/exr_oracle):
 
 - chunk layout: an 11×uint64 header (version, per-segment compressed /
-  uncompressed sizes, AC/DC counts, AC-compression selector) followed by
-  the UNKNOWN / AC / DC / RLE segments;
-- channel classification (default rules): HALF channels suffixed
-  R/G/B/Y/BY/RY → LOSSY_DCT (R,G,B triples sharing a prefix form a CSC
-  set converted through Rec.709 Y'CbCr; all are coded through the
-  perceptual nonlinearity), HALF A → RLE, everything else (incl. all
-  FLOAT/UINT channels) → UNKNOWN, stored losslessly via deflate;
-- LOSSY_DCT: 8×8 orthonormal DCT per block on the nonlinearized plane,
-  error-budgeted quantization to sparse halfs, zig-zag traversal, DC
-  coefficients split into their own segment (reorder+delta+deflate — the
-  ZIP transform), AC coefficients zero-run-length coded
-  (token 0xff00|run) and entropy-coded with the PIZ Huffman coder;
-- RLE scheme: planar byte split of the half data, EXR RLE, deflate.
+  uncompressed sizes, AC/DC counts, AC-compression selector), for
+  version ≥ 2 a serialized channel-rules block, then the UNKNOWN / AC /
+  DC / RLE segments;
+- channel rules: each rule is a null-terminated suffix string plus a
+  value byte ``(cscPos+1)<<4 | scheme<<2 | caseSensitive`` and a
+  pixel-type byte.  A channel takes the FIRST rule whose suffix (after
+  the last '.') and pixel type both match; no match → UNKNOWN.  The
+  default table (applied to version-1 chunks, and what we serialize on
+  write) classifies R/G/B/Y/BY/RY in HALF and FLOAT as LOSSY_DCT (R,G,B
+  carrying CSC positions 0,1,2) and A in UINT/HALF/FLOAT as RLE;
+- unit order: complete R,G,B CSC sets (same prefix, positions {0,1,2})
+  are processed FIRST, in chlist first-appearance order, then the
+  remaining LOSSY_DCT channels solo in chlist order;
+- LOSSY_DCT: plane → perceptual nonlinearity (x^(1/2.2) through a
+  half-bit LUT) → for CSC sets a Rec.709 Y'CbCr rotation → 8×8
+  orthonormal DCT → error-budgeted quantization to sparse halfs →
+  zig-zag.  DC coefficients go to their own segment
+  (reorder+delta+deflate — the ZIP transform) laid out plane-sequential
+  per unit (a CSC unit contributes its Y, Cb, Cr planes back to back);
+  AC coefficients are zero-run-length coded (0xff00|run for 1..255
+  zeros, bare 0xff00 = end-of-block: remaining coefficients are zero)
+  and entropy-coded with the PIZ Huffman coder.  Within a CSC unit the
+  AC stream is BLOCK-interleaved: per block position, the Y, Cb, Cr
+  blocks in turn (unlike the plane-sequential DC stream).  FLOAT
+  channels classified LOSSY_DCT are converted through half first
+  (lossy, exactly as upstream);
+- RLE scheme: per channel a planar byte split (least-significant byte
+  plane first — 2 planes for HALF, 4 for UINT/FLOAT), EXR RLE, deflate;
+- UNKNOWN: raw plane bytes, chlist order, deflate.
 
-Files are written with header version 1 (default channel rules — the
-spec's pre-rules version, which every decoder must accept); version-2
-inputs are readable: their serialized channel-rules block is skipped and
-the default rules applied.  Fidelity is validated by synthetic roundtrip
-and cross-posture tests (tests/test_exr.py) — this environment has no
-libopenexr to produce external fixtures, so byte-level compatibility
-with upstream encoders is asserted at the container level only; inputs
-using non-default channel rules decode with default classification.
+Fidelity against upstream is asserted by tests/test_exr_interop.py
+(decode-what-libOpenEXR-writes and libOpenEXR-reads-what-we-write);
+self-roundtrips stay covered by tests/test_exr.py.
 """
 
 from __future__ import annotations
 
 import struct
 import zlib
+from typing import NamedTuple
 
 import numpy as np
 
@@ -67,13 +80,34 @@ _QUANT_W = 1.0 + np.arange(64, dtype=np.float32) * 0.35
 
 
 def _lut_nonlinear() -> tuple[np.ndarray, np.ndarray]:
-    """(to_nonlinear, to_linear) LUTs over all 65536 half bit patterns:
-    the perceptual x^(1/2.2) transfer (sign-preserving; NaN/Inf pass)."""
+    """(to_nonlinear, to_linear) LUTs over all 65536 half bit patterns.
+
+    libOpenEXR bakes these tables into the library (dwaLookups); the
+    curve is piecewise — x^(1/2.2) for |x| ≤ 1, 1 + ln(x)/2.2 above,
+    sign-preserving, NaN/Inf pass — but the shipped tables carry their
+    own rounding (~half the entries sit one half-ulp off a straight
+    half-rounded formula, tiny values flush to zero).  Bit-exact interop
+    therefore uses dwa_luts.npz, extracted from the real library by
+    scripts/extract_dwa_luts.py; the analytic curve below is only the
+    fallback when the artifact is missing (self-roundtrips stay correct,
+    third-party DWA files then decode with one-ulp noise)."""
+    try:
+        import os
+
+        data = np.load(os.path.join(os.path.dirname(__file__),
+                                    "dwa_luts.npz"))
+        return (data["to_nonlinear"].astype(np.uint16),
+                data["to_linear"].astype(np.uint16))
+    except (OSError, KeyError):
+        pass
     bits = np.arange(65536, dtype=np.uint16)
     f = bits.view(np.float16).astype(np.float32)
-    with np.errstate(invalid="ignore", over="ignore"):
-        nl = np.sign(f) * np.abs(f) ** (1.0 / 2.2)
-        lin = np.sign(f) * np.abs(f) ** 2.2
+    with np.errstate(invalid="ignore", over="ignore", divide="ignore"):
+        a = np.abs(f)
+        nl = np.sign(f) * np.where(a <= 1.0, a ** (1.0 / 2.2),
+                                   1.0 + np.log(a) / 2.2)
+        lin = np.sign(f) * np.where(a <= 1.0, a ** 2.2,
+                                    np.exp(2.2 * (a - 1.0)))
         keep = ~np.isfinite(f)
         nl[keep] = f[keep]
         lin[keep] = f[keep]
@@ -84,57 +118,101 @@ def _lut_nonlinear() -> tuple[np.ndarray, np.ndarray]:
 _TO_NONLINEAR, _TO_LINEAR = _lut_nonlinear()
 
 
-def _suffix(name: str) -> str:
-    return name.rsplit(".", 1)[-1].lower()
+class Rule(NamedTuple):
+    suffix: str
+    scheme: int        # _UNKNOWN/_LOSSY_DCT/_RLE
+    pixel_type: int    # EXR PT: 0 uint, 1 half, 2 float
+    csc_pos: int       # 0/1/2 position in an R,G,B set; -1 none
+    case_sensitive: bool
+
+    def matches(self, name: str, pixel_type: int) -> bool:
+        if pixel_type != self.pixel_type:
+            return False
+        sfx = name.rsplit(".", 1)[-1]
+        if self.case_sensitive:
+            return sfx == self.suffix
+        return sfx.lower() == self.suffix.lower()
 
 
-def classify(channels) -> tuple[list[int], list[list[int]]]:
-    """Default channel rules → (scheme per channel, CSC index groups).
+# libOpenEXR's default channel rules (ImfDwaCompressor
+# initializeDefaultChannelRules), confirmed from serialized rule blocks:
+# R/G/B/Y/BY/RY in HALF and FLOAT → LOSSY_DCT (R,G,B csc 0,1,2);
+# A in UINT/HALF/FLOAT → RLE.
+DEFAULT_RULES: tuple[Rule, ...] = tuple(
+    [Rule(s, _LOSSY_DCT, t, p, False)
+     for s, p in (("R", 0), ("G", 1), ("B", 2))
+     for t in (1, 2)] +
+    [Rule(s, _LOSSY_DCT, t, -1, False)
+     for s in ("Y", "BY", "RY") for t in (1, 2)] +
+    [Rule("A", _RLE, t, -1, False) for t in (0, 1, 2)]
+)
 
-    channels: sequence with .name / .pixel_type (PT_HALF == 1).  R,G,B
-    HALF channels sharing a prefix form one CSC set (in R,G,B order).
-    """
+
+def parse_rules(blob: bytes) -> list[Rule]:
+    """Parse a serialized channel-rules block (without the leading uint16
+    size, which the caller consumed)."""
+    rules = []
+    pos = 0
+    while pos < len(blob):
+        end = blob.index(b"\0", pos)
+        suffix = blob[pos:end].decode("latin-1")
+        pos = end + 1
+        if pos + 2 > len(blob):
+            raise ValueError("corrupt DWA channel rule (truncated)")
+        value = blob[pos]
+        ptype = blob[pos + 1]
+        pos += 2
+        scheme = (value >> 2) & 3
+        if scheme > _RLE:
+            raise ValueError(f"corrupt DWA channel rule (scheme {scheme})")
+        if ptype > 2:
+            raise ValueError(f"corrupt DWA channel rule (type {ptype})")
+        rules.append(Rule(suffix, scheme, ptype,
+                          ((value >> 4) & 15) - 1, bool(value & 1)))
+    return rules
+
+
+def serialize_rules(rules: list[Rule]) -> bytes:
+    out = bytearray()
+    for r in rules:
+        out += r.suffix.encode("latin-1") + b"\0"
+        out.append(((r.csc_pos + 1) & 15) << 4 | (r.scheme & 3) << 2
+                   | (1 if r.case_sensitive else 0))
+        out.append(r.pixel_type)
+    return struct.pack("<H", len(out) + 2) + bytes(out)
+
+
+def classify(channels, rules=DEFAULT_RULES):
+    """→ (scheme per channel, DCT unit list).  A unit is
+    ('csc', [iR, iG, iB]) — a complete same-prefix R,G,B set — or
+    ('solo', [i]).  Complete CSC sets come first (chlist first-appearance
+    order), then solo LOSSY_DCT channels in chlist order, matching
+    libOpenEXR's processing order."""
     schemes = []
+    csc_pos = []
     for ch in channels:
-        if ch.pixel_type != 1:                    # only HALF is DCT/RLE
-            schemes.append(_UNKNOWN)
-        elif _suffix(ch.name) in ("r", "g", "b", "y", "by", "ry"):
-            schemes.append(_LOSSY_DCT)
-        elif _suffix(ch.name) == "a":
-            schemes.append(_RLE)
-        else:
-            schemes.append(_UNKNOWN)
-    by_prefix: dict[str, dict[str, int]] = {}
+        rule = next((r for r in rules
+                     if r.matches(ch.name, ch.pixel_type)), None)
+        schemes.append(rule.scheme if rule else _UNKNOWN)
+        csc_pos.append(rule.csc_pos
+                       if rule and rule.scheme == _LOSSY_DCT else -1)
+    by_prefix: dict[str, dict[int, int]] = {}
     for i, ch in enumerate(channels):
-        if schemes[i] != _LOSSY_DCT:
+        if csc_pos[i] < 0:
             continue
-        sfx = _suffix(ch.name)
-        if sfx in ("r", "g", "b"):
-            prefix = ch.name.rsplit(".", 1)[0] if "." in ch.name else ""
-            by_prefix.setdefault(prefix, {})[sfx] = i
-    csc = [[g["r"], g["g"], g["b"]] for g in by_prefix.values()
-           if len(g) == 3]
-    return schemes, csc
-
-
-def _plane_order(channels, schemes, csc):
-    """Deterministic DCT processing order: walk channels in chlist order;
-    a CSC set is processed whole (R,G,B) at its first member; other DCT
-    channels are processed alone.  → list of ('csc'|'solo', [indices])."""
-    in_csc = {i: g for g in csc for i in g}
-    done: set[int] = set()
-    order = []
+        prefix = ch.name.rsplit(".", 1)[0] if "." in ch.name else ""
+        by_prefix.setdefault(prefix, {}).setdefault(csc_pos[i], i)
+    units: list[tuple[str, list[int]]] = []
+    in_set: set[int] = set()
+    for g in by_prefix.values():           # insertion = chlist order
+        if set(g) >= {0, 1, 2}:
+            idxs = [g[0], g[1], g[2]]
+            units.append(("csc", idxs))
+            in_set.update(idxs)
     for i in range(len(channels)):
-        if schemes[i] != _LOSSY_DCT or i in done:
-            continue
-        if i in in_csc:
-            g = in_csc[i]
-            order.append(("csc", g))
-            done.update(g)
-        else:
-            order.append(("solo", [i]))
-            done.add(i)
-    return order
+        if schemes[i] == _LOSSY_DCT and i not in in_set:
+            units.append(("solo", [i]))
+    return schemes, units
 
 
 def _csc709_forward(r, g, b):
@@ -198,7 +276,8 @@ def _quantize_to_sparse_half(coefs: np.ndarray, errs: np.ndarray
 
 def _rle_ac(block_q: np.ndarray, out: list) -> None:
     """63 zig-zag AC halfs (uint16) → tokens appended to ``out``:
-    nonzero halfs verbatim, zero runs as 0xff00|run (run ≤ 255)."""
+    nonzero halfs verbatim, zero runs as 0xff00|run, trailing zeros as a
+    single bare 0xff00 end-of-block marker (libOpenEXR convention)."""
     nz = np.flatnonzero(block_q)
     prev = 0
     for idx in nz:
@@ -209,23 +288,25 @@ def _rle_ac(block_q: np.ndarray, out: list) -> None:
             run -= r
         out.append(int(block_q[idx]))
         prev = int(idx) + 1
-    run = 63 - prev
-    while run > 0:
-        r = min(run, 255)
-        out.append(0xFF00 | r)
-        run -= r
+    if prev < 63:
+        out.append(0xFF00)          # end of block
+    return
 
 
 def _unrle_ac(tokens: np.ndarray, pos: int) -> tuple[np.ndarray, int]:
     """Inverse of _rle_ac: consume tokens from ``pos`` until 63 AC
-    coefficients are filled.  → (uint16[63], new pos)."""
+    coefficients are filled or an end-of-block marker (bare 0xff00) is
+    read.  → (uint16[63], new pos)."""
     ac = np.zeros(63, np.uint16)
     filled = 0
     while filled < 63:
         t = int(tokens[pos])
         pos += 1
         if (t & 0xFF00) == 0xFF00:
-            filled += t & 0xFF
+            run = t & 0xFF
+            if run == 0:            # end of block: rest is zero
+                return ac, pos
+            filled += run
         else:
             ac[filled] = t
             filled += 1
@@ -234,33 +315,23 @@ def _unrle_ac(tokens: np.ndarray, pos: int) -> tuple[np.ndarray, int]:
     return ac, pos
 
 
-def _dct_plane_encode(plane_nl: np.ndarray, base_err: float,
-                      dc_out: list, ac_out: list) -> None:
-    """Nonlinearized f32 plane → quantized DC halfs + AC tokens."""
+def _dct_forward(plane_nl: np.ndarray) -> np.ndarray:
+    """Nonlinearized f32 plane → zig-zag f32 coefficients [nblocks, 64]."""
     blocks = _blocks_of(plane_nl)
     coefs = np.einsum("ky,byx,lx->bkl", _DCT_C, blocks, _DCT_C,
                       optimize=True)
-    zz = coefs.reshape(-1, 64)[:, _ZIGZAG]
-    q = _quantize_to_sparse_half(zz, base_err * _QUANT_W)
-    dc_out.append(q[:, 0].copy())
-    for b in range(q.shape[0]):
-        _rle_ac(q[b, 1:], ac_out)
+    return coefs.reshape(-1, 64)[:, _ZIGZAG]
 
 
-def _dct_plane_decode(dc: np.ndarray, ac_tokens: np.ndarray, ac_pos: int,
-                      h: int, w: int) -> tuple[np.ndarray, int]:
-    """DC halfs + AC token stream → f32 plane (still nonlinear domain)."""
-    nblocks = (-(-h // 8)) * (-(-w // 8))
-    zz = np.zeros((nblocks, 64), np.uint16)
-    zz[:, 0] = dc
-    for b in range(nblocks):
-        zz[b, 1:], ac_pos = _unrle_ac(ac_tokens, ac_pos)
-    coefs = np.zeros((nblocks, 64), np.float32)
+def _dct_inverse(zz: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Zig-zag uint16 half coefficients [nblocks, 64] → f32 plane (still
+    in the nonlinear domain)."""
+    coefs = np.zeros(zz.shape, np.float32)
     coefs[:, _ZIGZAG] = zz.view(np.float16).astype(np.float32)
     coefs = coefs.reshape(-1, 8, 8)
     blocks = np.einsum("ky,bkl,lx->byx", _DCT_C, coefs, _DCT_C,
                        optimize=True)
-    return _unblocks(blocks, h, w), ac_pos
+    return _unblocks(blocks, h, w)
 
 
 def dwa_compress(arrs: dict[str, np.ndarray], channels, width: int,
@@ -270,7 +341,9 @@ def dwa_compress(arrs: dict[str, np.ndarray], channels, width: int,
     from pcss_unet_tpu.io.exr_py import _DTYPES, _rle_compress, \
         _zip_do_transform
 
-    schemes, csc = classify(channels)
+    rules = [r for r in DEFAULT_RULES
+             if any(r.matches(c.name, c.pixel_type) for c in channels)]
+    schemes, units = classify(channels, rules)
     base_err = float(level) / 100000.0
 
     dc_parts: list[np.ndarray] = []
@@ -283,18 +356,27 @@ def dwa_compress(arrs: dict[str, np.ndarray], channels, width: int,
         nl = _TO_NONLINEAR[h16.view(np.uint16)]
         return nl.view(np.float16).astype(np.float32)
 
-    for kind, idxs in _plane_order(channels, schemes, csc):
+    for kind, idxs in units:
         planes = [nonlinearize(channels[i].name) for i in idxs]
         if kind == "csc":
             planes = list(_csc709_forward(*planes))
+        qs = []
         for p in planes:
-            _dct_plane_encode(p, base_err, dc_parts, ac_tokens)
+            zz = _dct_forward(p)
+            q = _quantize_to_sparse_half(zz, base_err * _QUANT_W)
+            dc_parts.append(q[:, 0].copy())   # DC: plane-sequential
+            qs.append(q)
+        # AC: block-interleaved across the unit's planes
+        for b in range(qs[0].shape[0]):
+            for q in qs:
+                _rle_ac(q[b, 1:], ac_tokens)
     for i, ch in enumerate(channels):
         if schemes[i] == _RLE:
-            bits = np.ascontiguousarray(
-                arrs[ch.name].astype(np.float16)).view(np.uint16).ravel()
-            rle_bytes += (bits & 0xFF).astype(np.uint8).tobytes()
-            rle_bytes += (bits >> 8).astype(np.uint8).tobytes()
+            dt = _DTYPES[ch.pixel_type]
+            raw = np.ascontiguousarray(arrs[ch.name].astype(dt))
+            b = raw.view(np.uint8).reshape(-1, dt.itemsize)
+            for k in range(dt.itemsize):      # LSB byte plane first
+                rle_bytes += b[:, k].tobytes()
         elif schemes[i] == _UNKNOWN:
             unknown += np.ascontiguousarray(
                 arrs[ch.name].astype(_DTYPES[ch.pixel_type])).tobytes()
@@ -320,10 +402,10 @@ def dwa_compress(arrs: dict[str, np.ndarray], channels, width: int,
         rle_z = b""
 
     header = struct.pack(
-        "<11Q", 1, len(unknown), len(unknown_z), len(ac_z), len(dc_z),
+        "<11Q", 2, len(unknown), len(unknown_z), len(ac_z), len(dc_z),
         len(rle_z), len(rle_rle), len(rle_bytes), ac_all.size, dc_all.size,
         AC_STATIC_HUFFMAN)
-    return header + unknown_z + ac_z + dc_z + rle_z
+    return header + serialize_rules(rules) + unknown_z + ac_z + dc_z + rle_z
 
 
 def dwa_decompress(payload: bytes, channels, width: int, n_lines: int
@@ -338,11 +420,12 @@ def dwa_decompress(payload: bytes, channels, width: int, n_lines: int
      rle_usize, rle_raw, ac_count, dc_count, ac_comp) = struct.unpack_from(
         "<11Q", payload, 0)
     pos = 88
+    rules: list[Rule] | tuple[Rule, ...] = DEFAULT_RULES
     if version >= 2:
-        # serialized channel rules: skip, apply defaults (module docstring)
         (rule_size,) = struct.unpack_from("<H", payload, pos)
-        if rule_size < 2:
+        if rule_size < 2 or pos + rule_size > len(payload):
             raise ValueError("corrupt DWA channel-rules block")
+        rules = parse_rules(payload[pos + 2: pos + rule_size])
         pos += rule_size
     unknown = zlib.decompress(payload[pos:pos + unk_csize]) \
         if unk_csize else b""
@@ -370,19 +453,22 @@ def dwa_decompress(payload: bytes, channels, width: int, n_lines: int
     rle_raw_bytes = (_rle_decompress(zlib.decompress(rle_blob),
                                      int(rle_raw)) if rle_csize else b"")
 
-    schemes, csc = classify(channels)
+    schemes, units = classify(channels, rules)
     out: dict[str, np.ndarray] = {}
     blocks_per_plane = (-(-n_lines // 8)) * (-(-width // 8))
     dc_pos = 0
     ac_pos = 0
-    for kind, idxs in _plane_order(channels, schemes, csc):
-        planes = []
-        for _ in idxs:
-            dc = dc_all[dc_pos: dc_pos + blocks_per_plane]
+    for kind, idxs in units:
+        zzs = []
+        for _ in idxs:                         # DC: plane-sequential
+            zz = np.zeros((blocks_per_plane, 64), np.uint16)
+            zz[:, 0] = dc_all[dc_pos: dc_pos + blocks_per_plane]
             dc_pos += blocks_per_plane
-            plane, ac_pos = _dct_plane_decode(dc, ac_tokens, ac_pos,
-                                              n_lines, width)
-            planes.append(plane)
+            zzs.append(zz)
+        for b in range(blocks_per_plane):      # AC: block-interleaved
+            for zz in zzs:
+                zz[b, 1:], ac_pos = _unrle_ac(ac_tokens, ac_pos)
+        planes = [_dct_inverse(zz, n_lines, width) for zz in zzs]
         if kind == "csc":
             planes = list(_csc709_inverse(*planes))
         for i, plane in zip(idxs, planes):
@@ -395,12 +481,21 @@ def dwa_decompress(payload: bytes, channels, width: int, n_lines: int
     for i, ch in enumerate(channels):
         if schemes[i] != _RLE:
             continue
-        lo = np.frombuffer(rle_raw_bytes, np.uint8, npix, rpos)
-        hi = np.frombuffer(rle_raw_bytes, np.uint8, npix, rpos + npix)
-        rpos += 2 * npix
-        bits = (hi.astype(np.uint16) << 8) | lo
-        out[ch.name] = bits.view(np.float16).astype(np.float32).reshape(
-            n_lines, width)
+        dt = _DTYPES[ch.pixel_type]
+        nb = dt.itemsize
+        planes8 = [np.frombuffer(rle_raw_bytes, np.uint8, npix,
+                                 rpos + k * npix) for k in range(nb)]
+        rpos += nb * npix
+        vals = np.zeros(npix, np.uint32)
+        for k in range(nb):                    # LSB byte plane first
+            vals |= planes8[k].astype(np.uint32) << (8 * k)
+        if nb == 2:
+            arr = vals.astype(np.uint16).view(np.float16).astype(np.float32)
+        elif ch.pixel_type == 0:               # UINT
+            arr = vals.astype(np.float32)
+        else:                                  # FLOAT via RLE (A:float)
+            arr = vals.view(np.float32).copy()
+        out[ch.name] = arr.reshape(n_lines, width)
 
     upos = 0
     for i, ch in enumerate(channels):

@@ -421,15 +421,22 @@ def test_dwa_roundtrip_half(tmp_path, rng, comp):
             back[n], chans[n].astype(np.float16).astype(np.float32))
 
 
-def test_dwa_float_channels_lossless(tmp_path, rng):
-    """FLOAT channels classify as UNKNOWN → deflate, bit-exact roundtrip."""
+def test_dwa_float_channel_classification(tmp_path, rng):
+    """FLOAT channels follow libOpenEXR's default rules: R/G/B → LOSSY_DCT
+    (through half — lossy even at FLOAT pixel type, exactly as upstream),
+    A → RLE (raw float bytes, bit-exact), Z → UNKNOWN (deflate,
+    bit-exact)."""
     chans = _smooth_rgbaz(rng, 33, 47)
     path = str(tmp_path / "df.exr")
     exr_py.write_exr_py(path, chans, compression=exr_py.COMP_DWAA,
                         pixel_type=PT_FLOAT)
     back = exr_py.read_exr_channels_py(path, list(chans))
-    for n in chans:
+    for n in ("A", "Z"):
         np.testing.assert_array_equal(back[n], chans[n])
+    for n in ("R", "G", "B"):
+        ref = chans[n].astype(np.float16).astype(np.float32)
+        mse = float(np.mean((back[n] - ref) ** 2))
+        assert 10 * np.log10(1.0 / max(mse, 1e-12)) > 45.0
 
 
 def test_dwa_beats_zip_on_smooth_halves(tmp_path, rng):
@@ -535,28 +542,27 @@ def test_dwa_extreme_and_constant_planes(tmp_path, rng):
         assert float(np.abs(back[n] - v).max()) < 0.01, n
 
 
-def test_dwa_version2_rules_block_skipped(tmp_path, rng):
-    """A version-2 chunk (serialized channel rules) decodes with default
-    rules: the rules block is measured by its leading size field and
-    skipped (io/dwa.py module docstring)."""
-    import struct as _struct
-
-    from pcss_unet_tpu.io.dwa import dwa_compress, dwa_decompress
+def test_dwa_version2_rules_drive_decode(tmp_path, rng, monkeypatch):
+    """The serialized channel-rules block in a version-2 chunk OVERRIDES
+    the default classification on decode (libOpenEXR semantics — the
+    rules travel with the file).  Encode with a non-default rule table
+    (R:half → RLE instead of LOSSY_DCT); an unpatched decode must honor
+    the embedded rules and read R back bit-exactly through the RLE path
+    — with default rules the stream would misparse entirely."""
+    from pcss_unet_tpu.io import dwa
+    from pcss_unet_tpu.io.dwa import _RLE, Rule, dwa_compress, dwa_decompress
     from pcss_unet_tpu.io.exr_py import _Channel
 
     h, w = 16, 32
     chans = [_Channel("R", exr_py.PT_HALF)]
-    arrs = {"R": rng.random((h, w)).astype(np.float32)}
+    arrs = {"R": rng.random((h, w)).astype(np.float16)}
+    monkeypatch.setattr(dwa, "DEFAULT_RULES",
+                        (Rule("R", _RLE, 1, -1, False),))
     payload = dwa_compress(arrs, chans, w, h)
-    # rewrite as version 2 with a 6-byte dummy rules block
-    body = payload[88:]
-    hdr = list(_struct.unpack("<11Q", payload[:88]))
-    hdr[0] = 2
-    rules = _struct.pack("<H", 6) + b"\x00" * 4
-    v2 = _struct.pack("<11Q", *hdr) + rules + body
-    out = dwa_decompress(v2, chans, w, h)
-    ref = dwa_decompress(payload, chans, w, h)
-    np.testing.assert_array_equal(out["R"], ref["R"])
+    monkeypatch.undo()
+    out = dwa_decompress(payload, chans, w, h)
+    np.testing.assert_array_equal(
+        out["R"], arrs["R"].astype(np.float32))
 
 
 # ---------------------------------------------------------------------------
