@@ -1039,13 +1039,14 @@ def test_dwa_native_encode(tmp_path, rng, comp):
     np.testing.assert_array_equal(nat["A"], ref_a)  # RLE path lossless
 
 
-def test_dwa_native_encode_float_unknown(tmp_path, rng):
-    """FLOAT channels classify UNKNOWN -> lossless deflate in the native
-    DWA encoder (python decoder cross-checks)."""
+def test_dwa_native_encode_float_classification(tmp_path, rng):
+    """Upstream default rules in the native DWA encoder: a FLOAT 'R' is
+    LOSSY_DCT (through half, lossy), a FLOAT 'depth' has no matching rule
+    and stays UNKNOWN -> lossless deflate (python decoder cross-checks)."""
     lib = _load_native()
     if lib is None:
         pytest.skip("native EXR codec unavailable")
-    chans = {"R": rng.standard_normal((20, 28)).astype(np.float32),
+    chans = {"R": np.abs(rng.standard_normal((20, 28))).astype(np.float32),
              "depth": rng.standard_normal((20, 28)).astype(np.float32)}
     path = str(tmp_path / "dwa_f.exr")
     os.environ["PCSS_EXR_BACKEND"] = "native"
@@ -1055,8 +1056,10 @@ def test_dwa_native_encode_float_unknown(tmp_path, rng):
     finally:
         os.environ.pop("PCSS_EXR_BACKEND")
     out = exr_py.read_exr_channels_py(path, list(chans))
-    for n in chans:
-        np.testing.assert_array_equal(out[n], chans[n])
+    np.testing.assert_array_equal(out["depth"], chans["depth"])
+    ref = chans["R"].astype(np.float16).astype(np.float32)
+    mse = float(np.mean((out["R"] - ref) ** 2))
+    assert 10 * np.log10(1.0 / max(mse, 1e-12)) > 40.0
 
 
 @pytest.mark.parametrize("tile", [None, (16, 16)])
