@@ -74,9 +74,29 @@ for _k in range(8):
     _s = np.sqrt(1.0 / 8.0) if _k == 0 else np.sqrt(2.0 / 8.0)
     _DCT_C[_k] = _s * np.cos(np.pi * (2 * np.arange(8) + 1) * _k / 16.0)
 
-# per-zigzag-index quantization error weights (JPEG-style ramp; encoder-
-# side freedom — any half value is legal in the stream)
-_QUANT_W = 1.0 + np.arange(64, dtype=np.float32) * 0.35
+# Per-zigzag-index quantization error budgets, as multipliers of
+# base_err = dwaCompressionLevel / 100000 — extracted empirically from
+# libOpenEXR (zeroing-threshold probes through tests/oracle/exr_oracle at
+# level 4000, 1/16-base resolution; see docs/BENCHMARKS.md "DWA size
+# parity").  Index 0 is the DC budget.  Upstream uses SEPARATE tables for
+# luma/solo planes (Y) and the chroma planes of a CSC set (CbCr — note
+# the saturation at ~5.79 above zig-zag index 10, mirroring JPEG chroma
+# tables).  Encoder-side freedom: any half is legal in the stream, but
+# matching upstream's budgets puts our files at upstream's size/loss
+# point for a given level.
+_QUANT_W_Y = np.array([
+    1.5625,
+    1.1, 1.162, 1.35, 1.162, 0.975, 1.6, 1.412, 1.288, 1.35, 1.788,
+    1.662, 1.538, 1.85, 2.35, 3.975, 2.538, 2.35, 2.162, 2.162, 2.35,
+    4.85, 3.475, 3.662, 2.85, 3.975, 5.788, 5.1, 6.1, 5.975, 5.662,
+    5.038, 5.538, 5.475, 6.35, 7.162, 9.162, 7.788, 6.35, 6.725, 8.662,
+    6.85, 5.475, 5.538, 7.975, 10.85, 8.1, 8.662, 9.475, 9.788, 10.288,
+    10.35, 10.288, 6.162, 7.662, 11.288, 12.038, 11.162, 9.975, 11.975,
+    9.162, 10.038, 10.288, 9.85], np.float32)
+_QUANT_W_CBCR = np.array([
+    1.5625,
+    1.038, 1.038, 1.412, 1.225, 1.412, 2.725, 1.475, 1.475, 2.725,
+    5.788, 3.85, 3.288, 3.85] + [5.788] * 50, np.float32)
 
 
 def _lut_nonlinear() -> tuple[np.ndarray, np.ndarray]:
@@ -361,9 +381,10 @@ def dwa_compress(arrs: dict[str, np.ndarray], channels, width: int,
         if kind == "csc":
             planes = list(_csc709_forward(*planes))
         qs = []
-        for p in planes:
+        for pi, p in enumerate(planes):
+            w = _QUANT_W_CBCR if (kind == "csc" and pi > 0) else _QUANT_W_Y
             zz = _dct_forward(p)
-            q = _quantize_to_sparse_half(zz, base_err * _QUANT_W)
+            q = _quantize_to_sparse_half(zz, base_err * w)
             dc_parts.append(q[:, 0].copy())   # DC: plane-sequential
             qs.append(q)
         # AC: block-interleaved across the unit's planes

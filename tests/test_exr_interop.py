@@ -279,3 +279,39 @@ def test_decode_openexr_dwa_levels(tmp_path, oracle, backend, comp):
         for n in names:
             assert_matches_oracle(ours[n], ref[n], comp,
                                   f"{comp}/level{level}/{n}")
+
+
+def test_dwa_size_parity_with_openexr(tmp_path, oracle, backend):
+    """At the same dwaCompressionLevel our DWA files land at (or better
+    than) libOpenEXR's size/loss point: the per-frequency quantization
+    budgets (_QUANT_W_Y/_QUANT_W_CBCR) were extracted from the library,
+    so the zeroing behavior matches.  Guard: ≤1.15× upstream's size AND
+    PSNR within 2 dB of upstream on smooth render-like content."""
+    h, w = 256, 256
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+
+    def mk(p):
+        return (0.5 + 0.4 * np.sin(xx / 9 + p) * np.cos(yy / 7 + p)
+                + 0.01 * rng.standard_normal((h, w)).astype(np.float32))
+
+    chans = {"R": mk(0), "G": mk(1), "B": mk(2),
+             "A": np.ones((h, w), np.float32)}
+    data = np.stack([chans[n].astype(np.float16).astype(np.float32)
+                     for n in ("R", "G", "B", "A")])
+    ref_path = str(tmp_path / "up.exr")
+    oracle_write(oracle, ref_path, "dwaa", data,
+                 "R:half,G:half,B:half,A:half", tmp_path)
+    our_path = str(tmp_path / "ours.exr")
+    write_exr(our_path, chans, compression=8, pixel_type=PT_HALF)
+
+    def psnr(path):
+        out = read_exr_channels(path, ["R", "G", "B"])
+        mses = [float(np.mean((out[n] - chans[n].astype(np.float16)
+                               .astype(np.float32)) ** 2))
+                for n in ("R", "G", "B")]
+        return 10 * np.log10(1.0 / max(np.mean(mses), 1e-12))
+
+    size_ratio = os.path.getsize(our_path) / os.path.getsize(ref_path)
+    assert size_ratio < 1.15, f"our DWA file {size_ratio:.2f}x upstream's"
+    assert psnr(our_path) > psnr(ref_path) - 2.0
