@@ -92,3 +92,67 @@ def test_native_decode_survives_corruption(tmp_path, rng):
     assert p.returncode == 0 and "ALL_OK" in p.stdout, (
         f"native decode crashed (rc={p.returncode}) on case: "
         f"{p.stdout.strip().splitlines()[-1:] or '?'}\n{p.stderr[-500:]}")
+
+
+def test_dwa_rules_block_corruption(tmp_path, rng):
+    """Targeted mutations of the version-2 DWA channel-rules block (new
+    in round 3: the block is parsed and APPLIED, not skipped).  Both
+    codecs must fail cleanly — never crash, never mis-index — on a
+    sabotaged size field, unterminated suffix, out-of-range scheme/type
+    bytes, or a rules block claiming to extend past the chunk."""
+    import struct
+
+    h, w = 24, 40
+    chans = {n: rng.standard_normal((h, w)).astype(np.float32)
+             for n in ("R", "G", "B", "A")}
+    src = str(tmp_path / "dwa.exr")
+    write_exr(src, chans, compression=exr_py.COMP_DWAA)
+    data = open(src, "rb").read()
+    f = exr_py.ExrFile(data)
+    # find the first chunk's rules block: after the 8-byte scanline
+    # prefix and the 88-byte DWA header
+    off = f._chunk_offsets[0]
+    _, csize = struct.unpack_from("<ii", data, off)
+    rules_off = off + 8 + 88
+    (rule_size,) = struct.unpack_from("<H", data, rules_off)
+
+    def mutate(fn):
+        b = bytearray(data)
+        fn(b)
+        return bytes(b)
+
+    cases = [
+        # size field: zero, one, huge, just past the chunk
+        mutate(lambda b: b.__setitem__(slice(rules_off, rules_off + 2),
+                                       struct.pack("<H", 0))),
+        mutate(lambda b: b.__setitem__(slice(rules_off, rules_off + 2),
+                                       struct.pack("<H", 1))),
+        mutate(lambda b: b.__setitem__(slice(rules_off, rules_off + 2),
+                                       struct.pack("<H", 0xFFFF))),
+        mutate(lambda b: b.__setitem__(slice(rules_off, rules_off + 2),
+                                       struct.pack("<H", csize - 88))),
+        # kill a suffix terminator (first NUL inside the block)
+        mutate(lambda b: b.__setitem__(
+            data.index(b"\0", rules_off + 2, rules_off + rule_size), 0x41)),
+        # scheme bits out of range (value byte of the first rule)
+        mutate(lambda b: b.__setitem__(
+            data.index(b"\0", rules_off + 2) + 1, 0x0C)),
+        # pixel-type byte out of range
+        mutate(lambda b: b.__setitem__(
+            data.index(b"\0", rules_off + 2) + 2, 0x7F)),
+    ]
+    for j, payload in enumerate(cases):
+        path = str(tmp_path / f"rules_{j}.exr")
+        with open(path, "wb") as f2:
+            f2.write(payload)
+        for backend_env in ("python", "native"):
+            if backend_env == "native" and _load_native() is None:
+                continue
+            os.environ["PCSS_EXR_BACKEND"] = backend_env
+            try:
+                from pcss_unet_tpu.io.exr import read_exr_channels
+                read_exr_channels(path, ["R", "G", "B", "A"])
+            except Exception:
+                pass  # clean error (or graceful fallback) = pass
+            finally:
+                os.environ.pop("PCSS_EXR_BACKEND", None)
