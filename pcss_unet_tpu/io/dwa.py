@@ -12,7 +12,7 @@ tests/test_exr_interop.py (via tests/oracle/exr_oracle):
   version ≥ 2 a serialized channel-rules block, then the UNKNOWN / AC /
   DC / RLE segments;
 - channel rules: each rule is a null-terminated suffix string plus a
-  value byte ``(cscPos+1)<<4 | scheme<<2 | caseSensitive`` and a
+  value byte ``(cscPos+1)<<4 | scheme<<2 | caseInsensitive`` and a
   pixel-type byte.  A channel takes the FIRST rule whose suffix (after
   the last '.') and pixel type both match; no match → UNKNOWN.  The
   default table (applied to version-1 chunks, and what we serialize on
@@ -41,6 +41,12 @@ tests/test_exr_interop.py (via tests/oracle/exr_oracle):
 Fidelity against upstream is asserted by tests/test_exr_interop.py
 (decode-what-libOpenEXR-writes and libOpenEXR-reads-what-we-write);
 self-roundtrips stay covered by tests/test_exr.py.
+
+Version-1 chunks (no rules block) decode with the default table — the
+same behavior libOpenEXR applies to them.  Note this intentionally
+breaks DWA files written by this repo BEFORE the upstream-semantics fix
+(they used a half-only classification and a different AC layout); no
+such files were ever shipped or committed as fixtures.
 """
 
 from __future__ import annotations
@@ -143,19 +149,21 @@ class Rule(NamedTuple):
     scheme: int        # _UNKNOWN/_LOSSY_DCT/_RLE
     pixel_type: int    # EXR PT: 0 uint, 1 half, 2 float
     csc_pos: int       # 0/1/2 position in an R,G,B set; -1 none
-    case_sensitive: bool
+    case_insensitive: bool  # value-byte bit0; the DEFAULTS are sensitive
 
     def matches(self, name: str, pixel_type: int) -> bool:
         if pixel_type != self.pixel_type:
             return False
         sfx = name.rsplit(".", 1)[-1]
-        if self.case_sensitive:
-            return sfx == self.suffix
-        return sfx.lower() == self.suffix.lower()
+        if self.case_insensitive:
+            return sfx.lower() == self.suffix.lower()
+        return sfx == self.suffix
 
 
-# libOpenEXR's default channel rules (ImfDwaCompressor
-# initializeDefaultChannelRules), confirmed from serialized rule blocks:
+# libOpenEXR's default channel rules, confirmed from serialized rule
+# blocks AND behavior (a lowercase 'r:half' channel classifies UNKNOWN
+# upstream — the defaults match case-SENSITIVELY; the serialized value
+# byte's bit0 is a case-INSENSITIVE flag and the defaults leave it 0):
 # R/G/B/Y/BY/RY in HALF and FLOAT → LOSSY_DCT (R,G,B csc 0,1,2);
 # A in UINT/HALF/FLOAT → RLE.
 DEFAULT_RULES: tuple[Rule, ...] = tuple(
@@ -197,7 +205,7 @@ def serialize_rules(rules: list[Rule]) -> bytes:
     for r in rules:
         out += r.suffix.encode("latin-1") + b"\0"
         out.append(((r.csc_pos + 1) & 15) << 4 | (r.scheme & 3) << 2
-                   | (1 if r.case_sensitive else 0))
+                   | (1 if r.case_insensitive else 0))
         out.append(r.pixel_type)
     return struct.pack("<H", len(out) + 2) + bytes(out)
 
@@ -391,16 +399,24 @@ def dwa_compress(arrs: dict[str, np.ndarray], channels, width: int,
         for b in range(qs[0].shape[0]):
             for q in qs:
                 _rle_ac(q[b, 1:], ac_tokens)
+    def as_dtype(a, dt):
+        # float -> uint32 of negatives/overflow is undefined; clamp so
+        # both codecs produce identical bytes.  4294967040 is the largest
+        # float32 below 2^32 (2^32-1 itself rounds UP to 2^32 in f32).
+        if dt == np.dtype(np.uint32):
+            a = np.clip(a, 0.0, 4294967040.0)
+        return np.ascontiguousarray(a.astype(dt))
+
     for i, ch in enumerate(channels):
         if schemes[i] == _RLE:
             dt = _DTYPES[ch.pixel_type]
-            raw = np.ascontiguousarray(arrs[ch.name].astype(dt))
+            raw = as_dtype(arrs[ch.name], dt)
             b = raw.view(np.uint8).reshape(-1, dt.itemsize)
             for k in range(dt.itemsize):      # LSB byte plane first
                 rle_bytes += b[:, k].tobytes()
         elif schemes[i] == _UNKNOWN:
-            unknown += np.ascontiguousarray(
-                arrs[ch.name].astype(_DTYPES[ch.pixel_type])).tobytes()
+            unknown += as_dtype(arrs[ch.name],
+                                _DTYPES[ch.pixel_type]).tobytes()
 
     dc_all = (np.concatenate(dc_parts) if dc_parts
               else np.zeros(0, np.uint16))

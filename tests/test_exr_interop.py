@@ -315,3 +315,34 @@ def test_dwa_size_parity_with_openexr(tmp_path, oracle, backend):
     size_ratio = os.path.getsize(our_path) / os.path.getsize(ref_path)
     assert size_ratio < 1.15, f"our DWA file {size_ratio:.2f}x upstream's"
     assert psnr(our_path) > psnr(ref_path) - 2.0
+
+
+def test_dwa_case_sensitive_rules(tmp_path, oracle, backend):
+    """libOpenEXR's default DWA rules match case-SENSITIVELY (the
+    serialized value byte's bit0 is a case-INSENSITIVE flag, 0 in the
+    defaults): a lowercase 'r:half' channel classifies UNKNOWN upstream,
+    not LOSSY_DCT.  Both directions must agree on a file carrying 'R'
+    and 'r' — the exact case a case-folding classifier mis-indexes."""
+    h, w = 37, 53
+    rng = np.random.default_rng(21)
+    smooth = mixed_data(rng, h, w)[0][0]
+    upper = smooth
+    lowr = (smooth * 0.5 + 0.01).astype(np.float16).astype(np.float32)
+    path = str(tmp_path / "case.exr")
+    oracle_write(oracle, path, "dwaa", np.stack([upper, lowr]),
+                 "R:half,r:half", tmp_path)
+    ref, _ = oracle_dump(oracle, path, tmp_path)
+    ours = read_exr_channels(path, ["R", "r"])
+    assert_matches_oracle(ours["R"], ref["R"], "dwaa", "case/R")
+    # 'r' is UNKNOWN upstream -> lossless at half: bit-exact
+    np.testing.assert_array_equal(ours["r"], ref["r"], err_msg="case/r")
+    np.testing.assert_array_equal(ours["r"], lowr)
+
+    # reverse: our encoder must classify 'r' UNKNOWN too, so libOpenEXR
+    # reads our file
+    chans = {"R": upper, "r": lowr}
+    our_path = str(tmp_path / "case_ours.exr")
+    write_exr(our_path, chans, compression=COMP_IDS["dwaa"],
+              pixel_type=PT_HALF)
+    ref2, _ = oracle_dump(oracle, our_path, tmp_path)
+    np.testing.assert_array_equal(ref2["r"], lowr)
