@@ -43,14 +43,25 @@ def _device_reachable(attempts: int = 3, timeout_s: int = 240) -> bool:
     return False
 
 
+_LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "logs", "bench_last_good.json")
+
+
 def main() -> None:
     if os.environ.get("PCSS_BENCH_SMOKE") != "1" and not _device_reachable():
-        print(json.dumps({
+        out = {
             "metric": "1080p_inference_frames_per_sec_per_chip",
             "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
             "error": "accelerator unreachable: backend init failed/hung "
                      "after bounded probes (TPU tunnel down?)",
-        }))
+        }
+        try:
+            with open(_LAST_GOOD) as f:
+                # context only — NOT a fresh measurement (value stays 0.0)
+                out["last_known_good"] = json.load(f)
+        except (OSError, ValueError):
+            pass
+        print(json.dumps(out))
         sys.exit(1)
     import jax
     import jax.numpy as jnp
@@ -153,6 +164,13 @@ def main() -> None:
         # multi-chip hardware (VERDICT r1 weak #8).
         "note": "per-chip rate; 8-chip north star assumed linear (independent frames)",
     }
+    if best_fps > 0 and "TPU" in result["device"]:
+        try:
+            os.makedirs(os.path.dirname(_LAST_GOOD), exist_ok=True)
+            with open(_LAST_GOOD, "w") as f:
+                json.dump(dict(result, measured_at=time.time()), f)
+        except OSError:
+            pass  # persistence is best-effort; the JSON line still prints
     print(json.dumps(result))
 
 
