@@ -561,7 +561,8 @@ struct Reader {
       chs[k] = {channels[k].name, (int)channels[k].pixel_type};
     std::vector<std::vector<float>> planes;
     if (!dwa::decompress(payload, (size_t)csize, chs, bw, bh, &planes,
-                         &error, half_to_float, float_to_half))
+                         &error, [lut = half_lut()](uint16_t h) { return lut[h]; },
+                         [](float f) { return float_to_half(f); }))
       return false;
     for (size_t k = 0; k < channels.size(); ++k) {
       if (!dsts[k]) continue;
@@ -1115,7 +1116,8 @@ static int prep_part(const char* const* names,
       }
       std::string derr;
       if (!dwa::compress(dptrs, dchans, bw, bh, 45.0f, payload, &derr,
-                         half_to_float, float_to_half))
+                         [lut = half_lut()](uint16_t h) { return lut[h]; },
+                         [](float f) { return float_to_half(f); }))
         return -2;
       if (payload->size() >= rows.size())  // didn't shrink: store raw
         payload->assign((const char*)rows.data(), rows.size());
