@@ -4,5 +4,5 @@
 set -e
 cd "$(dirname "$0")"
 OUT="${1:-libpcss_exr.so}"
-g++ -O3 -march=native -std=c++17 -shared -fPIC -o "$OUT" exr_codec.cpp -lz
+g++ -O3 -march=native -std=c++17 -shared -fPIC -pthread -o "$OUT" exr_codec.cpp -lz
 echo "built $OUT"

@@ -19,10 +19,14 @@
 //
 // Build: see native/exr/build.sh  (g++ -O3 -shared -fPIC ... -lz)
 
+#include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <cstdio>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 #include <memory>
 #include <zlib.h>
@@ -111,6 +115,32 @@ inline uint16_t float_to_half(float f) {
   uint32_t rem = mant & 0x1fffu;
   if (rem > 0x1000u || (rem == 0x1000u && (half & 1))) ++half;
   return (uint16_t)half;
+}
+
+// Within-file chunk-parallel decode width.  -1 = uninitialized (read
+// PCSS_EXR_THREADS once on first use; unset/1 keeps the serial path,
+// 0/"auto" uses the hardware thread count); pcss_exr_set_threads()
+// overrides at runtime.  File-level parallelism still belongs to the
+// Python callers (every entry point is GIL-free) — this lever is for
+// single-file latency (e.g. the one-EXR inference CLI, where a 1080p
+// DWAA decode costs ~10x the jitted forward pass on a multicore host).
+std::atomic<int> g_decode_threads{-1};
+
+inline int decode_threads_setting() {
+  int v = g_decode_threads.load(std::memory_order_relaxed);
+  if (v == -1) {
+    v = 1;
+    if (const char* e = std::getenv("PCSS_EXR_THREADS")) {
+      v = std::atoi(e);
+      if (v < 0 || (v == 0 && e[0] != '0')) v = 1;
+    }
+    g_decode_threads.store(v, std::memory_order_relaxed);
+  }
+  if (v == 0) {
+    unsigned hw = std::thread::hardware_concurrency();
+    return hw ? (int)hw : 1;
+  }
+  return v;
 }
 
 struct Reader {
@@ -393,25 +423,32 @@ struct Reader {
     dwa::undo_zip_transform(buf, out);
   }
 
-  // scratch buffers reused across blocks
-  std::vector<uint8_t> scratch_, raw_;
+  // Per-decoding-thread scratch: buffers reused across a thread's blocks
+  // plus its own error slot, so chunk decodes share no mutable state and
+  // can run concurrently (chunks scatter to disjoint plane regions).
+  struct Scratch {
+    std::vector<uint8_t> scratch, raw;
+    std::vector<uint16_t> b44_plane;
+    std::string error;
+  };
 
   // PXR24 stores per-row per-channel byte planes of running-differenced
   // pixels, zlib-compressed; FLOAT rows are 24-bit (low byte dropped).
   // Decodes one bw x bh block at (x0, y0), scattering every requested
   // channel (dsts[k] != null) into its full-width plane in ONE pass.
   bool pxr24_block(const uint8_t* payload, int csize, int bw, int bh,
-                   int x0, int y0, const std::vector<float*>& dsts) {
+                   int x0, int y0, const std::vector<float*>& dsts,
+                   Scratch& sc) {
     size_t planes_size = 0;
     for (auto& ch : channels)
       planes_size += (size_t)bw *
           (ch.pixel_type == PT_FLOAT ? 3 : ch.pixel_type == PT_HALF ? 2 : 4)
           * bh;
-    scratch_.resize(planes_size);
+    sc.scratch.resize(planes_size);
     uLongf dlen = planes_size;
-    if (uncompress(scratch_.data(), &dlen, payload, csize) != Z_OK ||
+    if (uncompress(sc.scratch.data(), &dlen, payload, csize) != Z_OK ||
         dlen != planes_size) {
-      error = "pxr24 inflate failed";
+      sc.error = "pxr24 inflate failed";
       return false;
     }
     size_t pos = 0;
@@ -423,7 +460,7 @@ struct Reader {
           pos += (size_t)bw * nplanes;
           continue;
         }
-        const uint8_t* p = scratch_.data() + pos;
+        const uint8_t* p = sc.scratch.data() + pos;
         float* row = dsts[k] + (size_t)(y0 + line) * width + x0;
         if (cpt == PT_FLOAT) {
           uint32_t acc = 0;
@@ -466,9 +503,9 @@ struct Reader {
   // 0xFC).  FLOAT/UINT planes are verbatim.  Half values live in an
   // order-preserving integer domain (negatives bit-inverted, positives
   // offset by 0x8000).
-  std::vector<uint16_t> b44_plane_;
   bool b44_block(const uint8_t* payload, int csize, int bw, int bh,
-                 int x0, int y0, const std::vector<float*>& dsts) {
+                 int x0, int y0, const std::vector<float*>& dsts,
+                 Scratch& sc) {
     static const int kOrder[15][2] = {
         {4, 0}, {8, 4}, {12, 8},
         {1, 0}, {5, 4}, {9, 8}, {13, 12},
@@ -481,7 +518,7 @@ struct Reader {
       bool want = dsts[k] != nullptr;
       if (cpt != PT_HALF) {  // FLOAT/UINT stored verbatim, planar
         size_t nbytes = (size_t)bw * bh * pixel_size(cpt);
-        if (p + nbytes > end) { error = "truncated B44 chunk"; return false; }
+        if (p + nbytes > end) { sc.error = "truncated B44 chunk"; return false; }
         if (want) {
           for (int line = 0; line < bh; ++line) {
             const uint8_t* src = p + (size_t)line * bw * pixel_size(cpt);
@@ -502,17 +539,17 @@ struct Reader {
       }
       int hb = (bh + 3) / 4, wb = (bw + 3) / 4;
       int pw = wb * 4;
-      if (want) b44_plane_.resize((size_t)hb * 4 * pw);
+      if (want) sc.b44_plane.resize((size_t)hb * 4 * pw);
       for (int by = 0; by < hb; ++by) {
         for (int bx = 0; bx < wb; ++bx) {
-          if (p + 3 > end) { error = "truncated B44 chunk"; return false; }
+          if (p + 3 > end) { sc.error = "truncated B44 chunk"; return false; }
           uint16_t t[16];
           uint16_t base = ((uint16_t)p[0] << 8) | p[1];
           if (p[2] == 0xFC) {  // flat block (B44A form; legal in both)
             for (int i = 0; i < 16; ++i) t[i] = base;
             p += 3;
           } else {
-            if (p + 14 > end) { error = "truncated B44 chunk"; return false; }
+            if (p + 14 > end) { sc.error = "truncated B44 chunk"; return false; }
             int fields[16];
             for (int g = 0; g < 4; ++g) {  // 6-bit fields, MSB-first
               const uint8_t* q = p + 2 + g * 3;
@@ -536,7 +573,7 @@ struct Reader {
                 uint16_t v = t[iy * 4 + ix];
                 uint16_t h = (v & 0x8000) ? (uint16_t)(v & 0x7FFF)
                                           : (uint16_t)(~v & 0xFFFF);
-                b44_plane_[(size_t)(by * 4 + iy) * pw + bx * 4 + ix] = h;
+                sc.b44_plane[(size_t)(by * 4 + iy) * pw + bx * 4 + ix] = h;
               }
           }
         }
@@ -544,7 +581,7 @@ struct Reader {
       if (want) {
         for (int line = 0; line < bh; ++line) {
           float* row = dsts[k] + (size_t)(y0 + line) * width + x0;
-          const uint16_t* src = b44_plane_.data() + (size_t)line * pw;
+          const uint16_t* src = sc.b44_plane.data() + (size_t)line * pw;
           for (int x = 0; x < bw; ++x) row[x] = half_lut()[src[x]];
         }
       }
@@ -555,13 +592,15 @@ struct Reader {
   // DWA chunk decode (dwa.h): the CSC coupling means one pass reconstructs
   // every channel anyway; all requested channels scatter from that pass.
   bool dwa_block(const uint8_t* payload, int csize, int bw, int bh,
-                 int x0, int y0, const std::vector<float*>& dsts) {
+                 int x0, int y0, const std::vector<float*>& dsts,
+                 Scratch& sc) {
     std::vector<dwa::Chan> chs(channels.size());
     for (size_t k = 0; k < channels.size(); ++k)
       chs[k] = {channels[k].name, (int)channels[k].pixel_type};
     std::vector<std::vector<float>> planes;
     if (!dwa::decompress(payload, (size_t)csize, chs, bw, bh, &planes,
-                         &error, [lut = half_lut()](uint16_t h) { return lut[h]; },
+                         &sc.error,
+                         [lut = half_lut()](uint16_t h) { return lut[h]; },
                          [](float f) { return float_to_half(f); }))
       return false;
     for (size_t k = 0; k < channels.size(); ++k) {
@@ -579,9 +618,10 @@ struct Reader {
   // requested channel (dsts[k] != null) into its full-width plane — an
   // N-channel read costs one inflate/Huffman pass, not N.
   bool decode_block(const uint8_t* payload, int csize, int bw, int bh,
-                    int x0, int y0, const std::vector<float*>& dsts) {
+                    int x0, int y0, const std::vector<float*>& dsts,
+                    Scratch& sc) {
     if (compression == COMP_PXR24)
-      return pxr24_block(payload, csize, bw, bh, x0, y0, dsts);
+      return pxr24_block(payload, csize, bw, bh, x0, y0, dsts, sc);
     size_t line_bytes = 0;
     std::vector<size_t> chan_off(channels.size());
     for (size_t i = 0; i < channels.size(); ++i) {
@@ -593,36 +633,36 @@ struct Reader {
     if (compression == COMP_NONE || (size_t)csize >= raw_size) {
       lines_ptr = payload;  // stored raw (incompressible block)
     } else if (compression == COMP_B44 || compression == COMP_B44A) {
-      return b44_block(payload, csize, bw, bh, x0, y0, dsts);
+      return b44_block(payload, csize, bw, bh, x0, y0, dsts, sc);
     } else if (compression == COMP_DWAA || compression == COMP_DWAB) {
-      return dwa_block(payload, csize, bw, bh, x0, y0, dsts);
+      return dwa_block(payload, csize, bw, bh, x0, y0, dsts, sc);
     } else if (compression == COMP_PIZ) {
       std::vector<piz::ChanDesc> cds(channels.size());
       for (size_t k = 0; k < channels.size(); ++k)
         cds[k].u16_size = channels[k].pixel_type == PT_HALF ? 1 : 2;
-      raw_.resize(raw_size);
+      sc.raw.resize(raw_size);
       if (!piz::decompress(payload, (size_t)csize, cds, bw, bh,
-                           raw_.data(), &error))
+                           sc.raw.data(), &sc.error))
         return false;
-      lines_ptr = raw_.data();
+      lines_ptr = sc.raw.data();
     } else if (compression == COMP_RLE) {
-      scratch_.resize(raw_size);
-      if (!rle_decode(payload, csize, scratch_.data(), raw_size)) {
-        error = "RLE decode failed";
+      sc.scratch.resize(raw_size);
+      if (!rle_decode(payload, csize, sc.scratch.data(), raw_size)) {
+        sc.error = "RLE decode failed";
         return false;
       }
-      undo_zip_transform(scratch_, raw_);
-      lines_ptr = raw_.data();
+      undo_zip_transform(sc.scratch, sc.raw);
+      lines_ptr = sc.raw.data();
     } else {
-      scratch_.resize(raw_size);
+      sc.scratch.resize(raw_size);
       uLongf dlen = raw_size;
-      if (uncompress(scratch_.data(), &dlen, payload, csize) != Z_OK ||
+      if (uncompress(sc.scratch.data(), &dlen, payload, csize) != Z_OK ||
           dlen != raw_size) {
-        error = "zlib inflate failed";
+        sc.error = "zlib inflate failed";
         return false;
       }
-      undo_zip_transform(scratch_, raw_);
-      lines_ptr = raw_.data();
+      undo_zip_transform(sc.scratch, sc.raw);
+      lines_ptr = sc.raw.data();
     }
     for (int line = 0; line < bh; ++line) {
       for (size_t k = 0; k < channels.size(); ++k) {
@@ -675,6 +715,9 @@ struct Reader {
       return 0;
     };
 
+    struct Job { const uint8_t* payload; int32_t csize; int bw, bh, x0, y0; };
+    std::vector<Job> jobs;
+    jobs.reserve(chunk_offsets.size());
     if (tiled) {
       for (int64_t raw_off : chunk_offsets) {
         // tile chunk: [part(4) if multi-part] dx, dy, levelX, levelY,
@@ -714,33 +757,71 @@ struct Reader {
         int x0 = dx * tile_w, y0 = dy * tile_h;
         int bw = std::min(tile_w, width - x0);
         int bh = std::min(tile_h, height - y0);
-        if (!decode_block(data + off + 20, csize, bw, bh, x0, y0, dsts))
-          return -1;
+        jobs.push_back({data + off + 20, csize, bw, bh, x0, y0});
       }
-      return finish();
+    } else {
+      for (size_t ci = 0; ci < chunk_offsets.size(); ++ci) {
+        int64_t raw_off = chunk_offsets[ci];
+        int64_t off = raw_off + chunk_prefix;
+        if (raw_off < 0 || (size_t)off + 8 > size) { error = "bad chunk offset"; return -1; }
+        if (chunk_prefix) {
+          int32_t pn;
+          std::memcpy(&pn, data + raw_off, 4);
+          if (pn != want_part) { error = "chunk part-number mismatch"; return -1; }
+        }
+        int32_t y, csize;
+        std::memcpy(&y, data + off, 4);
+        std::memcpy(&csize, data + off + 4, 4);
+        if (csize < 0 || (size_t)off + 8 + (size_t)csize > size) {
+          error = "bad chunk size"; return -1;
+        }
+        // chunks scatter by their own y — a corrupt y would otherwise
+        // become an out-of-bounds plane write
+        if (y < ymin || y > ymax) { error = "chunk y out of range"; return -1; }
+        int y0 = y - ymin;
+        int n_lines = std::min(lines_per_chunk, height - y0);
+        jobs.push_back({data + off + 8, csize, width, n_lines, 0, y0});
+      }
     }
-    for (size_t ci = 0; ci < chunk_offsets.size(); ++ci) {
-      int64_t raw_off = chunk_offsets[ci];
-      int64_t off = raw_off + chunk_prefix;
-      if (raw_off < 0 || (size_t)off + 8 > size) { error = "bad chunk offset"; return -1; }
-      if (chunk_prefix) {
-        int32_t pn;
-        std::memcpy(&pn, data + raw_off, 4);
-        if (pn != want_part) { error = "chunk part-number mismatch"; return -1; }
-      }
-      int32_t y, csize;
-      std::memcpy(&y, data + off, 4);
-      std::memcpy(&csize, data + off + 4, 4);
-      if (csize < 0 || (size_t)off + 8 + (size_t)csize > size) {
-        error = "bad chunk size"; return -1;
-      }
-      // chunks scatter by their own y — a corrupt y would otherwise
-      // become an out-of-bounds plane write
-      if (y < ymin || y > ymax) { error = "chunk y out of range"; return -1; }
-      int y0 = y - ymin;
-      int n_lines = std::min(lines_per_chunk, height - y0);
-      if (!decode_block(data + off + 8, csize, width, n_lines, 0, y0, dsts))
-        return -1;
+
+    // Validated jobs write to disjoint plane regions: decode them on a
+    // worker pool when configured (decode_threads_setting > 1), else
+    // serially with one reused scratch.
+    int nt = decode_threads_setting();
+    if (nt > (int)jobs.size()) nt = (int)jobs.size();
+    if (nt > 16) nt = 16;
+    if (nt <= 1) {
+      Scratch sc;
+      for (const Job& j : jobs)
+        if (!decode_block(j.payload, j.csize, j.bw, j.bh, j.x0, j.y0, dsts,
+                          sc)) {
+          error = sc.error;
+          return -1;
+        }
+    } else {
+      std::atomic<size_t> next{0};
+      std::atomic<bool> failed{false};
+      std::mutex err_mu;
+      auto worker = [&]() {
+        Scratch sc;
+        while (!failed.load(std::memory_order_relaxed)) {
+          size_t i = next.fetch_add(1, std::memory_order_relaxed);
+          if (i >= jobs.size()) break;
+          const Job& j = jobs[i];
+          if (!decode_block(j.payload, j.csize, j.bw, j.bh, j.x0, j.y0,
+                            dsts, sc)) {
+            std::lock_guard<std::mutex> g(err_mu);
+            if (!failed.exchange(true)) error = sc.error;
+            break;
+          }
+        }
+      };
+      std::vector<std::thread> pool;
+      pool.reserve(nt - 1);
+      for (int t = 1; t < nt; ++t) pool.emplace_back(worker);
+      worker();
+      for (auto& th : pool) th.join();
+      if (failed.load()) return -1;
     }
     return finish();
   }
@@ -764,6 +845,13 @@ void do_zip_transform(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
 }  // namespace
 
 extern "C" {
+
+// Within-file chunk-parallel decode width: n > 1 decodes each file's
+// chunks on n threads, n == 0 means "hardware thread count", n == 1
+// restores the serial default, n < 0 re-reads PCSS_EXR_THREADS.
+void pcss_exr_set_threads(int n) {
+  g_decode_threads.store(n < 0 ? -1 : n, std::memory_order_relaxed);
+}
 
 void* pcss_exr_open(const uint8_t* data, int64_t size) {
   auto* r = new Reader();

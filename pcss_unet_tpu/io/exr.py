@@ -57,7 +57,7 @@ def _load_native():
                 try:
                     subprocess.run(
                         ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                         "-o", _NATIVE_SO, src, "-lz"],
+                         "-pthread", "-o", _NATIVE_SO, src, "-lz"],
                         check=True, capture_output=True, timeout=120)
                     logging.info("built native EXR codec at %s", _NATIVE_SO)
                 except Exception as e:  # noqa: BLE001 - fall back to python codec
@@ -118,6 +118,9 @@ def _load_native():
         lib.pcss_exr_error.argtypes = [ctypes.c_void_p]
         lib.pcss_exr_close.restype = None
         lib.pcss_exr_close.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "pcss_exr_set_threads"):
+            lib.pcss_exr_set_threads.restype = None
+            lib.pcss_exr_set_threads.argtypes = [ctypes.c_int]
         lib.pcss_exr_write.restype = ctypes.c_int
         lib.pcss_exr_write.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_char_p),
@@ -133,6 +136,26 @@ def _load_native():
                 ctypes.c_int, ctypes.c_int, ctypes.c_int]
         _lib = lib
         return _lib
+
+
+def set_decode_threads(n: int) -> bool:
+    """Set the native codec's within-file chunk-parallel decode width.
+
+    ``n > 1``: decode each file's chunks on ``n`` threads; ``n == 0``: use
+    the hardware thread count; ``n == 1``: serial (the default).  Chunks
+    write to disjoint plane regions so results are identical at any width.
+    File-level parallelism (threads over many files, the training-pipeline
+    pattern) composes poorly with this — it is meant for single-file
+    latency, e.g. the one-EXR inference CLI where a 1080p DWAA decode
+    costs ~10x the jitted forward pass.  Also settable before first use
+    via the PCSS_EXR_THREADS env var.  Returns False when the native
+    codec (or a new enough build of it) is unavailable.
+    """
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "pcss_exr_set_threads"):
+        return False
+    lib.pcss_exr_set_threads(int(n))
+    return True
 
 
 def _read_channels_native(path: str, names: Sequence[str],

@@ -1236,3 +1236,60 @@ def test_single_part_selection_rejected(tmp_path, rng):
     # the public dispatcher surfaces the python codec's error
     with pytest.raises(ValueError, match="single-part"):
         read_exr_channels(path, ["R"], part=1)
+
+
+# ---------------------------------------------------------------------------
+# within-file chunk-parallel decode (native/exr/exr_codec.cpp worker pool)
+
+
+def test_native_multithreaded_decode_identical(tmp_path, rng):
+    """Chunk-parallel decode (PCSS_EXR_THREADS / set_decode_threads) is
+    bit-identical to the serial path for every compression scheme, in both
+    scanline and tiled containers — each chunk writes a disjoint plane
+    region, so only the scheduling differs."""
+    if _load_native() is None:
+        pytest.skip("native EXR codec unavailable")
+    from pcss_unet_tpu.io.exr import _read_channels_native, set_decode_threads
+
+    if not set_decode_threads(1):
+        pytest.skip("native codec build lacks pcss_exr_set_threads")
+    h, w = 70, 90  # several ZIP/DWAA chunks; partial last chunk
+    chans = _smooth_rgbaz(rng, h, w)
+    comps = [COMP_NONE, COMP_RLE, COMP_ZIPS, COMP_ZIP, exr_py.COMP_PIZ,
+             exr_py.COMP_PXR24, exr_py.COMP_B44, exr_py.COMP_B44A,
+             exr_py.COMP_DWAA, exr_py.COMP_DWAB]
+    try:
+        for comp in comps:
+            for kw in ({}, {"tile_size": (32, 32)}):
+                path = str(tmp_path / f"mt_{comp}_{len(kw)}.exr")
+                exr_py.write_exr_py(path, chans, compression=comp, **kw)
+                set_decode_threads(1)
+                serial = _read_channels_native(path, list(chans))
+                set_decode_threads(4)
+                threaded = _read_channels_native(path, list(chans))
+                for n in chans:
+                    np.testing.assert_array_equal(threaded[n], serial[n])
+    finally:
+        set_decode_threads(1)
+
+
+def test_native_multithreaded_decode_error_path(tmp_path, rng):
+    """A corrupt chunk fails cleanly (error message, no crash) under the
+    worker pool too."""
+    if _load_native() is None:
+        pytest.skip("native EXR codec unavailable")
+    from pcss_unet_tpu.io.exr import _read_channels_native, set_decode_threads
+
+    if not set_decode_threads(4):
+        pytest.skip("native codec build lacks pcss_exr_set_threads")
+    try:
+        path = str(tmp_path / "corrupt.exr")
+        chans = _smooth_rgbaz(rng, 70, 90)
+        exr_py.write_exr_py(path, chans, compression=exr_py.COMP_ZIP)
+        blob = bytearray(open(path, "rb").read())
+        blob[len(blob) // 2] ^= 0xFF  # flip a bit inside a chunk payload
+        open(path, "wb").write(bytes(blob))
+        with pytest.raises(Exception):
+            _read_channels_native(path, list(chans))
+    finally:
+        set_decode_threads(1)
