@@ -39,8 +39,14 @@ def main(argv=None) -> None:
     p.add_argument("--quantize", choices=["none", "int8"], default="none",
                    help="int8: dynamic-int8 convs for the MXU-bound "
                         "stages (requires --fold_bn; docs/BENCHMARKS.md)")
+    p.add_argument("--decode_threads", type=int, default=0,
+                   help="EXR chunk-decode threads (0 = hardware count; "
+                        "single-file decode dominates this CLI's latency)")
     args = p.parse_args(argv)
     setup_logger()
+
+    from pcss_unet_tpu.io.exr import set_decode_threads
+    set_decode_threads(args.decode_threads)
 
     import jax.numpy as jnp
 
