@@ -490,14 +490,18 @@ inline bool huf_decompress(const uint8_t* blob, size_t blob_n, uint16_t* out,
     }
   }
 
-  // Fast path: a 2^14-entry table maps the next 14 bits directly to
-  // (symbol << 6 | code_len) for every code of length <= 14 (the
-  // overwhelming majority in wavelet-coefficient streams); longer codes
-  // and the stream tail fall back to the exact bit-at-a-time walk.  This
-  // is the standard canonical-Huffman acceleration (ImfHuf uses the same
-  // table width) — measured ~3x on PIZ chunk decode.
+  // Fast path: a 2^14-entry table maps the next 14 bits directly to one
+  // or TWO decoded symbols.  Pass 1 is the standard canonical-Huffman
+  // single-symbol table (ImfHuf uses the same width) — measured ~3x on
+  // PIZ chunk decode.  Pass 2 upgrades entries to symbol PAIRS wherever
+  // the first code leaves room for a complete second code inside the
+  // same window (neither may be the RLE marker): typical wavelet/AC
+  // streams average ~7-bit codes, so most lookups then emit two symbols
+  // for one peek+branch.  Entry layout (u64):
+  //   bits 0-5 len1, 6-11 total_len, 12-13 nsyms, 14-30 sym1, 34-50 sym2
+  //   (symbols are 17-bit: the alphabet is kHufEncSize = 65537).
   constexpr int kFastBits = 14;
-  std::vector<uint32_t> fast_tbl(1u << kFastBits, 0);
+  std::vector<uint64_t> fast_tbl(1u << kFastBits, 0);
   {
     std::vector<int> fill(kMaxCodeLen + 1, 0);
     for (int s = 0; s < kHufEncSize; ++s) {
@@ -507,15 +511,35 @@ inline bool huf_decompress(const uint8_t* blob, size_t blob_n, uint16_t* out,
       if (l > kFastBits || codev >= (1ull << l)) continue;
       uint32_t lo = (uint32_t)(codev << (kFastBits - l));
       uint32_t hi = lo + (1u << (kFastBits - l));
-      for (uint32_t e = lo; e < hi; ++e)
-        fast_tbl[e] = ((uint32_t)s << 6) | (uint32_t)l;
+      uint64_t ns = (s == (int)iM) ? 0 : 1;  // marker: no direct emit
+      uint64_t ent = (uint64_t)l | ((uint64_t)l << 6) | (ns << 12) |
+                     ((uint64_t)s << 14) | ((uint64_t)s << 34);
+      for (uint32_t e = lo; e < hi; ++e) fast_tbl[e] = ent;
+    }
+    // Pass 2 costs a 128 KB copy + 16 K probes: only worth it when the
+    // stream has enough symbols to amortize (small chunks skip it).
+    std::vector<uint64_t> singles;
+    if (n_out >= 16384) singles = fast_tbl;  // pristine pass-1 copy
+    for (uint32_t i = 0; i < (uint32_t)singles.size(); ++i) {
+      uint64_t e1 = singles[i];
+      if (!e1 || !((e1 >> 12) & 3)) continue;  // empty or RLE marker
+      int l1 = (int)(e1 & 63);
+      uint32_t s1 = (uint32_t)((e1 >> 14) & 0x1FFFF);
+      if (l1 >= kFastBits) continue;
+      uint64_t e2 = singles[(i << l1) & ((1u << kFastBits) - 1)];
+      if (!e2 || !((e2 >> 12) & 3)) continue;
+      int l2 = (int)(e2 & 63);
+      uint32_t s2 = (uint32_t)((e2 >> 14) & 0x1FFFF);
+      if (l1 + l2 > kFastBits) continue;
+      fast_tbl[i] = (uint64_t)l1 | ((uint64_t)(l1 + l2) << 6) |
+                    (2ull << 12) | ((uint64_t)s1 << 14) | ((uint64_t)s2 << 34);
     }
   }
 
   size_t pos = 0;
   int64_t bits_left = n_bits;
 #ifdef PIZ_PROFILE
-  size_t n_fast = 0, n_slow = 0, n_tail = 0;
+  size_t n_fast = 0, n_slow = 0, n_tail = 0, n_pair = 0;
 #endif
 
   // exact single-symbol decode (stream tail / pathological tables)
@@ -564,18 +588,36 @@ inline bool huf_decompress(const uint8_t* blob, size_t blob_n, uint16_t* out,
 
   while (pos < n_out) {
     int sym;
-    while (r.lc < kFastBits && r.pos < r.size) {  // top up the peek window
+    while (r.lc <= 56 && r.pos < r.size) {  // refill the peek window deep
       r.c = (r.c << 8) | r.data[r.pos++];
       r.lc += 8;
     }
     if (bits_left >= kFastBits && r.lc >= kFastBits) {
       uint32_t peek = (uint32_t)(
           (r.c >> (r.lc - kFastBits)) & ((1u << kFastBits) - 1));
-      uint32_t e = fast_tbl[peek];
-      if (e) {
+      uint64_t e = fast_tbl[peek];
+      int ns = (int)((e >> 12) & 3);
+      if (ns && pos + 2 <= n_out) {
+        // branchless 1-or-2 symbol emit: singles duplicate sym into the
+        // second field and advance by 1, so the hot path has no
+        // data-dependent branch (a 50/50 pair/single branch mispredicts
+        // its way out of the pair win)
+        int tl = (int)((e >> 6) & 63);
+        r.lc -= tl;
+        bits_left -= tl;
+        out[pos] = (uint16_t)((e >> 14) & 0x1FFFF);
+        out[pos + (ns - 1)] = (uint16_t)((e >> 34) & 0x1FFFF);
+        pos += ns;
+#ifdef PIZ_PROFILE
+        n_fast += ns;
+        n_pair += (ns == 2);
+#endif
+        continue;
+      }
+      if (e) {  // RLE marker (ns == 0) or the last output slot: one symbol
         r.lc -= (int)(e & 63);
         bits_left -= (int64_t)(e & 63);
-        sym = (int)(e >> 6);
+        sym = (int)((e >> 14) & 0x1FFFF);
 #ifdef PIZ_PROFILE
         ++n_fast;
 #endif
@@ -609,7 +651,8 @@ inline bool huf_decompress(const uint8_t* blob, size_t blob_n, uint16_t* out,
     }
   }
 #ifdef PIZ_PROFILE
-  fprintf(stderr, "huf: fast %zu slow %zu tail %zu\n", n_fast, n_slow, n_tail);
+  fprintf(stderr, "huf: fast %zu slow %zu tail %zu pair %zu\n", n_fast,
+          n_slow, n_tail, n_pair);
 #endif
   return true;
 }
