@@ -131,8 +131,12 @@ inline int decode_threads_setting() {
   if (v == -1) {
     v = 1;
     if (const char* e = std::getenv("PCSS_EXR_THREADS")) {
-      v = std::atoi(e);
-      if (v < 0 || (v == 0 && e[0] != '0')) v = 1;
+      if (std::strcmp(e, "auto") == 0) {
+        v = 0;
+      } else {
+        v = std::atoi(e);
+        if (v < 0 || (v == 0 && e[0] != '0')) v = 1;
+      }
     }
     g_decode_threads.store(v, std::memory_order_relaxed);
   }
@@ -630,8 +634,14 @@ struct Reader {
     }
     size_t raw_size = line_bytes * (size_t)bh;
     const uint8_t* lines_ptr;
-    if (compression == COMP_NONE || (size_t)csize >= raw_size) {
-      lines_ptr = payload;  // stored raw (incompressible block)
+    if ((size_t)csize >= raw_size) {
+      lines_ptr = payload;  // stored raw (COMP_NONE or incompressible block)
+    } else if (compression == COMP_NONE) {
+      // A short COMP_NONE chunk must be rejected here: the scatter loop
+      // reads raw_size bytes from the payload, and the only size check so
+      // far was off + 8 + csize <= file size.
+      sc.error = "uncompressed chunk shorter than its line block";
+      return false;
     } else if (compression == COMP_B44 || compression == COMP_B44A) {
       return b44_block(payload, csize, bw, bh, x0, y0, dsts, sc);
     } else if (compression == COMP_DWAA || compression == COMP_DWAB) {
@@ -718,6 +728,11 @@ struct Reader {
     struct Job { const uint8_t* payload; int32_t csize; int bw, bh, x0, y0; };
     std::vector<Job> jobs;
     jobs.reserve(chunk_offsets.size());
+    // Each level-0 tile / scanline block may appear at most once, so the
+    // jobs cover disjoint plane regions — the precondition for the
+    // worker-pool path below (two threads scattering into the same rows
+    // would be a data race, not just a deterministic overwrite).
+    std::vector<bool> seen_block;
     if (tiled) {
       for (int64_t raw_off : chunk_offsets) {
         // tile chunk: [part(4) if multi-part] dx, dy, levelX, levelY,
@@ -754,6 +769,10 @@ struct Reader {
         if (dx < 0 || dy < 0 || dx >= ntx || dy >= nty) {
           error = "bad tile index"; return -1;
         }
+        if (seen_block.empty()) seen_block.resize((size_t)ntx * nty, false);
+        size_t slot = (size_t)dy * ntx + dx;
+        if (seen_block[slot]) { error = "duplicate tile"; return -1; }
+        seen_block[slot] = true;
         int x0 = dx * tile_w, y0 = dy * tile_h;
         int bw = std::min(tile_w, width - x0);
         int bh = std::min(tile_h, height - y0);
@@ -776,17 +795,32 @@ struct Reader {
           error = "bad chunk size"; return -1;
         }
         // chunks scatter by their own y — a corrupt y would otherwise
-        // become an out-of-bounds plane write
+        // become an out-of-bounds plane write, and an unaligned or
+        // duplicate y would overlap another chunk's rows (a data race on
+        // the worker-pool path)
         if (y < ymin || y > ymax) { error = "chunk y out of range"; return -1; }
         int y0 = y - ymin;
+        if (y0 % lines_per_chunk != 0) {
+          error = "chunk y not aligned to a line-block boundary"; return -1;
+        }
+        size_t slot = (size_t)y0 / lines_per_chunk;
+        if (seen_block.empty())
+          seen_block.resize((size_t)(height + lines_per_chunk - 1) /
+                                lines_per_chunk, false);
+        if (seen_block[slot]) { error = "duplicate chunk y"; return -1; }
+        seen_block[slot] = true;
         int n_lines = std::min(lines_per_chunk, height - y0);
         jobs.push_back({data + off + 8, csize, width, n_lines, 0, y0});
       }
     }
 
-    // Validated jobs write to disjoint plane regions: decode them on a
-    // worker pool when configured (decode_threads_setting > 1), else
-    // serially with one reused scratch.
+    // Validated jobs write to disjoint plane regions (duplicate /
+    // unaligned blocks were rejected above): decode them on a worker pool
+    // when configured (decode_threads_setting > 1), else serially with one
+    // reused scratch.  Width is capped at 16 threads per file — a 1080p
+    // scanline file has ~68 ZIP chunks, so the marginal thread past 16
+    // buys <6% while the spawn cost is paid per decode; the cap is
+    // documented at both Python entry points.
     int nt = decode_threads_setting();
     if (nt > (int)jobs.size()) nt = (int)jobs.size();
     if (nt > 16) nt = 16;

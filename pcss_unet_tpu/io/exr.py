@@ -142,7 +142,10 @@ def set_decode_threads(n: int) -> bool:
     """Set the native codec's within-file chunk-parallel decode width.
 
     ``n > 1``: decode each file's chunks on ``n`` threads; ``n == 0``: use
-    the hardware thread count; ``n == 1``: serial (the default).  Chunks
+    the hardware thread count; ``n == 1``: serial (the default).  The
+    effective width is capped at 16 threads per file (and at the file's
+    chunk count) — past that the marginal chunk-level win is a few percent
+    while the pool spawn cost is paid per decode.  Chunks
     write to disjoint plane regions so results are identical at any width.
     File-level parallelism (threads over many files, the training-pipeline
     pattern) composes poorly with this — it is meant for single-file

@@ -444,7 +444,13 @@ class ExrFile:
         wanted = {n for n in names if n in have}
         data = self._data
         pre = self._chunk_prefix  # multi-part chunks lead with a part number
+        # Reject out-of-range / unaligned / duplicate blocks (matching the
+        # native codec): a corrupt y or tile index would otherwise scatter
+        # into the wrong rows (negative y0 wraps via negative indexing).
+        seen_blocks: set = set()
         if self.tiled:
+            ntx = (self.width + self.tile_w - 1) // self.tile_w
+            nty = (self.height + self.tile_h - 1) // self.tile_h
             for off in self._chunk_offsets:
                 off += pre
                 # tile chunk: dx, dy, levelX, levelY, dataSize, payload
@@ -454,6 +460,11 @@ class ExrFile:
                         raise ValueError(f"unexpected tile level ({lx},{ly}) "
                                          "in ONE_LEVEL file")
                     continue  # full-res plane only; pyramid levels skipped
+                if not (0 <= dx < ntx and 0 <= dy < nty):
+                    raise ValueError(f"bad tile index ({dx},{dy})")
+                if (dx, dy) in seen_blocks:
+                    raise ValueError(f"duplicate tile ({dx},{dy})")
+                seen_blocks.add((dx, dy))
                 payload = data[off + 20: off + 20 + size]
                 x0, y0 = dx * self.tile_w, dy * self.tile_h
                 tw = min(self.tile_w, self.width - x0)
@@ -468,6 +479,14 @@ class ExrFile:
             y, size = struct.unpack_from("<ii", data, off)
             payload = data[off + 8: off + 8 + size]
             y0 = y - self.y_min
+            if not 0 <= y0 < self.height:
+                raise ValueError(f"chunk y {y} out of range")
+            if y0 % self._lpc != 0:
+                raise ValueError(
+                    f"chunk y {y} not aligned to a line-block boundary")
+            if y0 in seen_blocks:
+                raise ValueError(f"duplicate chunk y {y}")
+            seen_blocks.add(y0)
             n_lines = min(self._lpc, self.height - y0)
             for name, rows in self._decode_block(payload, self.width,
                                                  n_lines, wanted).items():

@@ -10,6 +10,7 @@ offending case in its stdout tail) rather than killing the test runner.
 """
 
 import os
+import struct
 import subprocess
 import sys
 
@@ -160,3 +161,53 @@ def test_dwa_rules_block_corruption(tmp_path, rng):
         assert p.returncode == 0 and "ALL_OK" in p.stdout, (
             f"{backend_env} decode crashed (rc={p.returncode}) on: "
             f"{p.stdout.strip().splitlines()[-1:] or '?'}\n{p.stderr[-400:]}")
+
+
+def test_overlapping_and_short_chunks_rejected(tmp_path, rng):
+    """Blocks that overlap (duplicate / unaligned y, duplicate tile) or lie
+    about their size (COMP_NONE csize < line block) must be REJECTED, not
+    decoded: the chunk-parallel pool's disjoint-writes precondition would
+    otherwise become a C++ data race, and a short raw chunk an over-read.
+    Both codecs must agree (serial Python would merely overwrite, but the
+    differential contract keeps the validation identical)."""
+    h, w = 24, 32
+    chan = {"R": rng.standard_normal((h, w)).astype(np.float32)}
+
+    def patched(src_path, patch_fn):
+        data = bytearray(open(src_path, "rb").read())
+        offs = exr_py.ExrFile(bytes(data))._chunk_offsets
+        patch_fn(data, offs)
+        p = str(tmp_path / f"bad_{patch_fn.__name__}.exr")
+        with open(p, "wb") as f:
+            f.write(data)
+        return p
+
+    zip_p = str(tmp_path / "zip.exr")
+    write_exr(zip_p, chan, compression=exr_py.COMP_ZIP)  # lpc=16: 2 chunks
+    tiled_p = str(tmp_path / "tiled.exr")
+    write_exr(tiled_p, chan, compression=exr_py.COMP_ZIP,
+              tile_size=(16, 16))  # 2x2 tiles
+    none_p = str(tmp_path / "none.exr")
+    write_exr(none_p, chan, compression=exr_py.COMP_NONE)
+
+    def dup_y(b, offs):           # chunk 1 claims chunk 0's rows
+        struct.pack_into("<i", b, offs[1], 0)
+
+    def unaligned_y(b, offs):     # in range but off the 16-line grid
+        struct.pack_into("<i", b, offs[1], 5)
+
+    def dup_tile(b, offs):        # tile 1 replays tile 0's (dx, dy)
+        struct.pack_into("<ii", b, offs[1], 0, 0)
+
+    def short_none(b, offs):      # raw chunk shorter than its line block
+        struct.pack_into("<i", b, offs[0] + 4, 8)
+
+    cases = [patched(zip_p, dup_y), patched(zip_p, unaligned_y),
+             patched(tiled_p, dup_tile), patched(none_p, short_none)]
+    from pcss_unet_tpu.io.exr import _read_channels_native
+    for p in cases:
+        with pytest.raises(Exception):
+            exr_py.read_exr_channels_py(p, ["R"])
+        if _load_native() is not None:
+            with pytest.raises(IOError):
+                _read_channels_native(p, ["R"])
