@@ -52,11 +52,14 @@ def main(argv=None) -> None:
 
     from pcss_unet_tpu.data.stats import load_channel_stats
     from pcss_unet_tpu.infer import InferenceEngine, infer_tiled, load_variables
-    from pcss_unet_tpu.models import unet_from_config
+    from pcss_unet_tpu.models import unet_for_variables
 
     cfg = load_config(args.config)
-    model = unet_from_config(cfg)
     variables = load_variables(args.weights)
+    # The checkpoint, not the config, is the authority on the architecture
+    # (a reference user loading a trimmed/custom .pth should never have to
+    # reverse-engineer base_width/model_depth — infer.py:36-41 never asks).
+    model = unet_for_variables(cfg, variables)
     means = stds = None
     if args.stats_dir:
         means, stds = load_channel_stats(args.stats_dir)

@@ -35,11 +35,11 @@ def main(argv=None) -> None:
     from pcss_unet_tpu.data.stats import load_channel_stats
     from pcss_unet_tpu.infer import InferenceEngine, load_variables
     from pcss_unet_tpu.infer.server import ShadowServer
-    from pcss_unet_tpu.models import unet_from_config
+    from pcss_unet_tpu.models import unet_for_variables
 
     cfg = load_config(args.config)
-    model = unet_from_config(cfg)
     variables = load_variables(args.weights)
+    model = unet_for_variables(cfg, variables)
     means = stds = None
     if args.stats_dir:
         means, stds = load_channel_stats(args.stats_dir)

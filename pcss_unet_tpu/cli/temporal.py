@@ -45,11 +45,11 @@ def main(argv=None) -> None:
     from pcss_unet_tpu.io.exr import read_exr_stack
     from pcss_unet_tpu.io.png import write_mask_png
     from pcss_unet_tpu.losses import measure_temporal_instability
-    from pcss_unet_tpu.models import unet_from_config
+    from pcss_unet_tpu.models import unet_for_variables
 
     cfg = load_config(args.config)
-    model = unet_from_config(cfg)
     variables = load_variables(args.weights)
+    model = unet_for_variables(cfg, variables)
     means = stds = None
     if args.stats_dir:
         means, stds = load_channel_stats(args.stats_dir)

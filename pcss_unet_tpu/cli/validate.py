@@ -30,12 +30,12 @@ def main(argv=None) -> None:
     from pcss_unet_tpu.infer import load_variables
     from pcss_unet_tpu.io.exr import read_exr_stack
     from pcss_unet_tpu.io.png import write_mask_png
-    from pcss_unet_tpu.models import unet_from_config
+    from pcss_unet_tpu.models import unet_for_variables
     from pcss_unet_tpu.parity import validate_train_infer_consistency
 
     cfg = load_config(args.config)
-    model = unet_from_config(cfg)
     variables = load_variables(args.weights)
+    model = unet_for_variables(cfg, variables)
     means = stds = None
     if args.stats_dir:
         means, stds = load_channel_stats(args.stats_dir)

@@ -488,6 +488,57 @@ def spatial_halo(model: UNet) -> int:
     return -(-r // a) * a
 
 
+def widths_from_params(params) -> tuple[tuple[int, ...], int, int]:
+    """Recover ``(encoder_widths, in_ch, out_ch)`` from a parameter tree.
+
+    The architecture is fully encoded in the checkpoint: every
+    ``enc_k/conv_b`` 1x1 kernel's output dim is that level's width, the
+    ``enc_0/conv_a`` input dim is the 2x2-folded input (``in_ch * 4``) and
+    the head's output dim the folded mask (``out_ch * 4``).  This is what
+    lets ``cli.infer`` load ANY trained checkpoint — reference ``.pth``,
+    ``.npz`` export (including BN-folded), or Orbax dir — without the user
+    hand-matching ``base_width``/``model_depth`` config keys, mirroring how
+    the reference's fixed-architecture ``infer.py:36-41`` never asks.
+    Raises ``ValueError`` when the tree is not a UNet parameter tree.
+    """
+    try:
+        ks = sorted((k for k in params if k.startswith("enc_")),
+                    key=lambda k: int(k.split("_")[1]))
+        widths = tuple(int(params[k]["conv_b"]["kernel"].shape[-1])
+                       for k in ks)
+        folded_in = int(params["enc_0"]["conv_a"]["kernel"].shape[2])
+        folded_out = int(params["head"]["kernel"].shape[-1])
+    except (KeyError, TypeError, AttributeError, IndexError) as e:
+        raise ValueError(f"not a UNet parameter tree: {e}") from None
+    if not widths or folded_in % 4 or folded_out % 4:
+        raise ValueError("not a UNet parameter tree (no encoder levels or "
+                         "unfolded stem/head)")
+    return widths, folded_in // 4, folded_out // 4
+
+
+def unet_for_variables(cfg, variables) -> UNet:
+    """Build the UNet for a loaded checkpoint: config supplies the
+    non-recoverable hyperparameters (activation, dtype, ...) but the
+    checkpoint is the authority on the architecture — when its recovered
+    ``(widths, in_ch, out_ch)`` disagree with ``base_width``/``model_depth``
+    the model is rebuilt to match (logged), so every checkpoint-consuming
+    CLI loads trimmed/custom nets without hand-matched config keys."""
+    model = unet_from_config(cfg)
+    try:
+        widths, in_ch, out_ch = widths_from_params(variables["params"])
+    except (ValueError, KeyError, TypeError):
+        return model  # non-UNet tree: let the caller's apply() raise
+    if (widths != tuple(model.encoder_widths) or in_ch != model.in_ch
+            or out_ch != model.out_ch):
+        import logging
+        logging.info("checkpoint architecture widths=%s in=%d out=%d "
+                     "overrides config (base_width=%d, model_depth=%d)",
+                     widths, in_ch, out_ch, cfg.base_width, cfg.model_depth)
+        model = model.clone(encoder_widths=widths, in_ch=in_ch,
+                            out_ch=out_ch)
+    return model
+
+
 def unet_from_config(cfg) -> UNet:
     """Build the UNet from a ``pcss_unet_tpu.config.Config``."""
     widths = {

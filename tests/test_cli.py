@@ -152,3 +152,41 @@ def test_check_split_channels(tmp_path, capsys):
     const = np.asarray(Image.open(tmp_path / "out" / "const.png"))
     np.testing.assert_array_equal(const, 0)  # test.py:71-72 semantics
     assert (tmp_path / "out" / "depth_Z.png").exists()  # sanitized name
+
+
+def test_infer_cli_checkpoint_overrides_config_architecture(tmp_path):
+    """Loading a checkpoint whose net doesn't match the config's
+    base_width/model_depth must rebuild the model from the checkpoint
+    (widths_from_params) instead of dying in a Flax shape error — the
+    reference's infer.py never asks the user for the architecture."""
+    rng = np.random.default_rng(3)
+    exr = tmp_path / "frame.exr"
+    write_exr(str(exr), {n: rng.standard_normal((32, 32)).astype(np.float32)
+                         for n in "RGBA"})
+    pth = os.path.join(os.path.dirname(__file__), "golden",
+                       "torch_trained_w8.pth")
+    out = tmp_path / "mask.png"
+    # NO --config: defaults say base_width=64 model_depth=4, the .pth is an
+    # (8, 16, 32, 64) net
+    cli_infer.main(["--input", str(exr), "--output", str(out),
+                    "--weights", pth, "--dtype", "float32"])
+    mask = np.asarray(Image.open(out))
+    assert mask.shape == (32, 32)
+
+
+def test_widths_from_params_roundtrip():
+    import jax
+    import jax.numpy as jnp
+
+    from pcss_unet_tpu.models import UNet, widths_from_params
+
+    for ws in [(8, 16, 32), (8, 16, 32, 64),
+               (16, 16, 32, 64, 128, 128, 256)]:
+        m = UNet(encoder_widths=ws)
+        v = m.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 128, 128, 4), jnp.float32), False)
+        widths, in_ch, out_ch = widths_from_params(v["params"])
+        assert widths == ws and (in_ch, out_ch) == (4, 1)
+    with pytest.raises(ValueError):
+        widths_from_params({"dense": {"kernel": np.zeros((3, 3))}})
