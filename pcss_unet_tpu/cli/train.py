@@ -28,6 +28,12 @@ def main(argv=None) -> None:
     p.add_argument("--batch_size", type=int, default=None,
                    help="0 → auto (memory-governor doubling search)")
     p.add_argument("--num_epochs", type=int, default=None)
+    p.add_argument("--grad_accum_steps", type=int, default=None,
+                   help="split each batch into N sequential microbatches "
+                        "inside the jitted step (fp32 gradient "
+                        "accumulation, one optimizer update) — trains "
+                        "reference-scale 2048x1024 batches within one "
+                        "chip's HBM; batch_size must divide by it")
     p.add_argument("--learning_rate", type=float, default=None)
     p.add_argument("--processed_data_dir", default=None)
     p.add_argument("--save_dir", default=None)

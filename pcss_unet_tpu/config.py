@@ -108,6 +108,15 @@ class Config:
     distill_teacher_width: int = 64         #   the reference network)
     distill_weight: float = 0.5
 
+    # Gradient accumulation: split each incoming batch into N equal
+    # microbatches inside the jitted step (lax.scan), accumulate gradients
+    # in fp32, apply ONE optimizer update.  The TPU answer to the
+    # reference's OOM-retry loop (main.py:478-499) for reference-scale
+    # batches (batch 8 @ 2048x1024): the per-microbatch activation
+    # footprint is what must fit HBM, not the full batch's.  batch_size
+    # must be divisible by this.
+    grad_accum_steps: int = 1
+
     # Device-resident dataset cache: upload the packed dataset to HBM once
     # and gather/crop batches on device, eliminating per-step host→device
     # transfers (the dominant step cost when the host link is slow).  The

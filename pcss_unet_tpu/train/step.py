@@ -30,6 +30,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 import optax
+from flax.core import FrozenDict, freeze, unfreeze
 
 from pcss_unet_tpu.losses import LossBundle, enhanced_loss, standard_loss
 from pcss_unet_tpu.train.schedule import clip_norm_for_step
@@ -61,10 +62,22 @@ def build_train_step(cfg, bundle: LossBundle, means, stds,
     runs an eval-mode forward on the same standardized batch and
     ``cfg.distill_weight · mean((out − teacher_out)²)`` joins the loss.
     The teacher's forward is param-independent, so it computes once per
-    step outside the gradient."""
+    step outside the gradient.
+
+    ``cfg.grad_accum_steps > 1`` splits the batch into that many equal
+    microbatches inside the step (``lax.scan``), accumulates gradients in
+    fp32, and applies ONE optimizer update on their mean — the TPU answer
+    to the reference's OOM-retry loop (main.py:478-499): only the
+    per-microbatch activations must fit HBM.  For batch-mean losses on
+    equal microbatches the averaged gradient equals the whole-batch
+    gradient exactly (modulo fp reassociation); with BatchNorm the batch
+    statistics are per-microbatch and the running stats chain through the
+    scan — the same semantics torch users get from classic ``loss/N +
+    backward`` accumulation."""
     means = jnp.asarray(means, jnp.float32)
     stds = jnp.asarray(stds, jnp.float32)
     use_perturb = cfg.loss_type == "perturb"
+    accum = max(1, int(getattr(cfg, "grad_accum_steps", 1)))
     if teacher is not None:
         t_model, t_vars = teacher
         t_vars = jax.tree.map(jnp.asarray, dict(t_vars))
@@ -73,39 +86,85 @@ def build_train_step(cfg, bundle: LossBundle, means, stds,
     def train_step(state: TrainState, x_raw, y, rng):
         x = standardize(x_raw.astype(jnp.float32), means, stds)
         y = y.astype(jnp.float32)
-        drop_rng, pert_rng, pert_drop_rng = jax.random.split(
-            jax.random.fold_in(rng, state.step), 3)
-        if teacher is not None:
-            soft = jax.lax.stop_gradient(
-                t_model.apply(t_vars, x, False).astype(jnp.float32))
+        base_rng = jax.random.fold_in(rng, state.step)
 
-        def loss_fn(params):
-            out, mutated = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                x, True, rngs={"dropout": drop_rng}, mutable=["batch_stats"])
-            if use_perturb:
-                def pert_apply(xp):
-                    # train-mode forward (dropout active, batch-stat BN), BN
-                    # updates discarded — pert_loss.py:78-81 semantics
-                    o, _ = state.apply_fn(
-                        {"params": params, "batch_stats": state.batch_stats},
-                        xp, True, rngs={"dropout": pert_drop_rng},
-                        mutable=["batch_stats"])
-                    return o
-                total, terms = enhanced_loss(bundle, pert_apply, pert_rng,
-                                             x, out, y, training=True)
-            else:
-                total, terms = standard_loss(bundle, out, y)
+        def grads_one(batch_stats, x_mb, y_mb, rng_mb):
+            """Gradients + loss terms for one (micro)batch."""
+            drop_rng, pert_rng, pert_drop_rng = jax.random.split(rng_mb, 3)
             if teacher is not None:
-                d = jnp.mean((out.astype(jnp.float32) - soft) ** 2)
-                total = total + distill_w * d
-                terms = dict(terms)
-                terms["distill_loss"] = d
-                terms["total_loss"] = total
-            return total, (mutated["batch_stats"], terms)
+                soft = jax.lax.stop_gradient(
+                    t_model.apply(t_vars, x_mb, False).astype(jnp.float32))
 
-        (total, (new_stats, terms)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            def loss_fn(params):
+                out, mutated = state.apply_fn(
+                    {"params": params, "batch_stats": batch_stats},
+                    x_mb, True, rngs={"dropout": drop_rng},
+                    mutable=["batch_stats"])
+                if use_perturb:
+                    def pert_apply(xp):
+                        # train-mode forward (dropout active, batch-stat BN),
+                        # BN updates discarded — pert_loss.py:78-81 semantics
+                        o, _ = state.apply_fn(
+                            {"params": params, "batch_stats": batch_stats},
+                            xp, True, rngs={"dropout": pert_drop_rng},
+                            mutable=["batch_stats"])
+                        return o
+                    total, terms = enhanced_loss(bundle, pert_apply, pert_rng,
+                                                 x_mb, out, y_mb,
+                                                 training=True)
+                else:
+                    total, terms = standard_loss(bundle, out, y_mb)
+                if teacher is not None:
+                    d = jnp.mean((out.astype(jnp.float32) - soft) ** 2)
+                    total = total + distill_w * d
+                    terms = dict(terms)
+                    terms["distill_loss"] = d
+                    terms["total_loss"] = total
+                return total, (mutated["batch_stats"], terms)
+
+            (total, (new_stats, terms)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            return grads, new_stats, terms, total
+
+        if accum == 1:
+            grads, new_stats, terms, total = grads_one(
+                state.batch_stats, x, y, base_rng)
+        else:
+            b = x.shape[0]
+            if b % accum:
+                raise ValueError(f"batch size {b} is not divisible by "
+                                 f"grad_accum_steps={accum}")
+            mb = b // accum
+            xs = (x.reshape(accum, mb, *x.shape[1:]),
+                  y.reshape(accum, mb, *y.shape[1:]),
+                  jnp.arange(accum))
+
+            def body(carry, xs_i):
+                stats, gacc = carry
+                x_mb, y_mb, idx = xs_i
+                g, stats, terms_i, total_i = grads_one(
+                    stats, x_mb, y_mb, jax.random.fold_in(base_rng, idx))
+                gacc = jax.tree.map(
+                    lambda a, gi: a + gi.astype(jnp.float32), gacc, g)
+                # scan requires an invariant carry pytree TYPE; flax mixes
+                # dict/FrozenDict between init and mutable-apply output
+                return (unfreeze(stats), gacc), (dict(terms_i), total_i)
+
+            gacc0 = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
+                                 state.params)
+            (new_stats, gsum), (terms_seq, totals) = jax.lax.scan(
+                body, (unfreeze(state.batch_stats), gacc0), xs)
+            # mean over microbatches, cast back to the param dtypes so the
+            # optimizer sees the same dtypes as the accum=1 path
+            grads = jax.tree.map(lambda g, p: (g / accum).astype(p.dtype),
+                                 gsum, state.params)
+            terms = jax.tree.map(jnp.mean, terms_seq)
+            total = jnp.mean(totals)
+
+        # flax mixes dict/FrozenDict between init and mutable-apply output;
+        # the select below needs identical container types
+        if isinstance(state.batch_stats, FrozenDict):
+            new_stats = freeze(unfreeze(new_stats))
 
         # dynamic global-norm clip (main.py:356-358, 405)
         gnorm = optax.global_norm(grads)
