@@ -39,6 +39,10 @@ def main(argv=None) -> None:
     p.add_argument("--quantize", choices=["none", "int8"], default="none",
                    help="int8: dynamic-int8 convs for the MXU-bound "
                         "stages (requires --fold_bn; docs/BENCHMARKS.md)")
+    p.add_argument("--ema", action="store_true",
+                   help="deploy the EMA parameters (checkpoints from "
+                        "ema_decay > 0 runs carry them alongside the raw "
+                        "weights)")
     p.add_argument("--decode_threads", type=int, default=0,
                    help="EXR chunk-decode threads (0 = hardware count; "
                         "single-file decode dominates this CLI's latency)")
@@ -55,7 +59,7 @@ def main(argv=None) -> None:
     from pcss_unet_tpu.models import unet_for_variables
 
     cfg = load_config(args.config)
-    variables = load_variables(args.weights)
+    variables = load_variables(args.weights, ema=args.ema)
     # The checkpoint, not the config, is the authority on the architecture
     # (a reference user loading a trimmed/custom .pth should never have to
     # reverse-engineer base_width/model_depth — infer.py:36-41 never asks).

@@ -28,6 +28,10 @@ def main(argv=None) -> None:
     p.add_argument("--batch_size", type=int, default=None,
                    help="0 → auto (memory-governor doubling search)")
     p.add_argument("--num_epochs", type=int, default=None)
+    p.add_argument("--ema_decay", type=float, default=None,
+                   help="exponential-moving-average decay for a parallel "
+                        "set of serving weights (0 = off); deploy with "
+                        "cli.infer --ema")
     p.add_argument("--grad_accum_steps", type=int, default=None,
                    help="split each batch into N sequential microbatches "
                         "inside the jitted step (fp32 gradient "

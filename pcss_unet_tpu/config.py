@@ -117,6 +117,14 @@ class Config:
     # must be divisible by this.
     grad_accum_steps: int = 1
 
+    # Exponential moving average of the parameters: ema ← d·ema + (1−d)·θ
+    # after every applied update (skipped steps leave it untouched).  The
+    # EMA weights checkpoint alongside the raw ones and deploy via
+    # ``cli.infer --ema`` — a smoother serving net for free on a model
+    # whose headline metric is temporal stability (paper.md:133).  0 = off
+    # (reference behavior).
+    ema_decay: float = 0.0
+
     # Device-resident dataset cache: upload the packed dataset to HBM once
     # and gather/crop batches on device, eliminating per-step host→device
     # transfers (the dominant step cost when the host link is slow).  The

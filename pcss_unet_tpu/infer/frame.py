@@ -22,10 +22,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def load_variables(path: str) -> dict:
+def load_variables(path: str, ema: bool = False) -> dict:
     """Load model variables from any supported checkpoint format:
     Orbax directory (ours), ``.npz`` (reference-named export), or ``.pth``
-    (torch, both reference formats — infer.py:36-41)."""
+    (torch, both reference formats — infer.py:36-41).
+
+    ``ema=True`` deploys the EMA parameters (cfg.ema_decay runs checkpoint
+    them alongside the raw ones); raises if the checkpoint has none."""
     import os
 
     if os.path.isdir(path):
@@ -69,8 +72,18 @@ def load_variables(path: str) -> dict:
                 if hasattr(m, "shape") else m, tree)
             payload = ckptr.restore(path, target=template)
         payload = jax.device_get(payload)
+        if ema:
+            if "ema_params" not in payload:
+                raise ValueError(
+                    f"--ema requested but {path} holds no ema_params "
+                    "(train with ema_decay > 0 to checkpoint an EMA)")
+            return {"params": payload["ema_params"],
+                    "batch_stats": payload.get("batch_stats", {})}
         return {"params": payload["params"],
                 "batch_stats": payload.get("batch_stats", {})}
+    if ema:
+        raise ValueError("--ema requires an Orbax checkpoint directory "
+                         "(reference .pth/.npz exports carry no EMA)")
     from pcss_unet_tpu.train.checkpoint import load_reference_checkpoint
 
     return load_reference_checkpoint(path)

@@ -22,6 +22,7 @@ import os
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -123,6 +124,8 @@ class CheckpointManagerWrapper:
             "cursor_batch": np.asarray(cursor_batch if mid_epoch else -1,
                                        np.int64),
         }
+        if state.ema_params is not None:
+            payload["ema_params"] = state.ema_params
         stale = self._steps_for_epoch(epoch)
         sub = (stale[-1] % self._SUBKEYS + 1) if stale else 0
         if sub >= self._SUBKEYS:
@@ -203,11 +206,18 @@ class CheckpointManagerWrapper:
             "skipped_steps": state.skipped_steps,
             "cursor_batch": np.asarray(-1, np.int64),
         }
+        ema_template = state.ema_params is not None
+        if self._has_leaf(step_id, "ema_params"):
+            # Orbax restore templates must match the on-disk tree exactly;
+            # when EMA is disabled the raw params serve as the (same-shaped)
+            # template and the restored average is dropped below.
+            template["ema_params"] = (state.ema_params if ema_template
+                                      else state.params)
         # Detect pre-cursor checkpoint layouts explicitly from the saved
         # tree's metadata (a blanket except here would also swallow real
         # restore failures — corruption, shape mismatch — and silently
         # replay an epoch).
-        if not self._has_cursor(step_id):
+        if not self._has_leaf(step_id, "cursor_batch"):
             template.pop("cursor_batch")
             restored = self.manager.restore(
                 step_id, args=ocp.args.StandardRestore(template))
@@ -216,26 +226,52 @@ class CheckpointManagerWrapper:
             restored = self.manager.restore(
                 step_id, args=ocp.args.StandardRestore(template))
             cursor = int(restored["cursor_batch"])
+        if ema_template and "ema_params" not in restored:
+            # EMA newly enabled on a run whose checkpoints predate it:
+            # seed the average from the restored raw params
+            logging.info("checkpoint has no ema_params; seeding EMA from "
+                         "the restored parameters")
+            # copy, don't alias: the train loop donates the state
+            restored["ema_params"] = jax.tree.map(jnp.copy,
+                                                  restored["params"])
         return state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
             step=restored["step"],
             skipped_steps=restored["skipped_steps"],
+            ema_params=(restored.get("ema_params", state.ema_params)
+                        if ema_template else None),
         ), cursor
 
-    def _has_cursor(self, step_id: int) -> bool:
-        """True if the saved tree at step_id contains the 'cursor_batch'
-        leaf (checkpoints written before the mid-epoch cursor existed
-        don't).  Conservative: metadata-read failures count as present so
-        real restore errors surface from restore(), not here."""
+    def _has_leaf(self, step_id: int, key: str) -> bool:
+        """True if the saved tree at step_id contains the top-level ``key``
+        (checkpoints written before the mid-epoch cursor / EMA existed
+        lack those).  A manager that hasn't saved in this process returns
+        ``item_metadata(...) = None`` (no handler registered yet), so fall
+        back to reading the step directory's metadata directly.
+        Conservative: if both reads fail, the key counts as present so real
+        restore errors surface from restore(), not here."""
         try:
             meta = self.manager.item_metadata(step_id)
             tree = getattr(meta, "item_metadata", meta)
             if hasattr(tree, "tree"):   # CompositeItemMetadata-style
                 tree = tree.tree
-            return "cursor_batch" in tree
+            if tree is not None:
+                return key in tree
         except Exception:  # noqa: BLE001 — metadata API drift only
+            pass
+        try:
+            path = os.path.join(str(self.directory), str(step_id))
+            if os.path.isdir(os.path.join(path, "default")):
+                path = os.path.join(path, "default")
+            with ocp.StandardCheckpointer() as ckptr:
+                meta = ckptr.metadata(path)
+            tree = meta.item_metadata if hasattr(meta, "item_metadata") else meta
+            if hasattr(tree, "tree"):
+                tree = tree.tree
+            return key in tree
+        except Exception:  # noqa: BLE001
             return True
 
     def close(self) -> None:

@@ -29,6 +29,10 @@ class TrainState(struct.PyTreeNode):
     skipped_steps: jax.Array
     apply_fn: Callable = struct.field(pytree_node=False)
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # EMA of params (cfg.ema_decay > 0); None = disabled.  None is an empty
+    # pytree, so EMA-off states keep the exact leaf set older checkpoints
+    # were written with.
+    ema_params: Any = None
 
 
 def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
@@ -70,4 +74,8 @@ def create_train_state(model, cfg, steps_per_epoch: int,
         skipped_steps=jnp.zeros((), jnp.int32),
         apply_fn=model.apply,
         tx=tx,
+        # a distinct copy, NOT an alias of params: the fit() loop donates the
+        # state, and aliased leaves donate the same buffer twice
+        ema_params=(jax.tree.map(jnp.copy, params)
+                    if getattr(cfg, "ema_decay", 0.0) > 0 else None),
     )

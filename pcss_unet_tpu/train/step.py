@@ -73,11 +73,16 @@ def build_train_step(cfg, bundle: LossBundle, means, stds,
     gradient exactly (modulo fp reassociation); with BatchNorm the batch
     statistics are per-microbatch and the running stats chain through the
     scan — the same semantics torch users get from classic ``loss/N +
-    backward`` accumulation."""
+    backward`` accumulation.
+
+    ``cfg.ema_decay > 0`` maintains ``state.ema_params`` (ema ← d·ema +
+    (1−d)·θ after every applied update; skipped steps leave it untouched)
+    for deployment via ``cli.infer --ema``."""
     means = jnp.asarray(means, jnp.float32)
     stds = jnp.asarray(stds, jnp.float32)
     use_perturb = cfg.loss_type == "perturb"
     accum = max(1, int(getattr(cfg, "grad_accum_steps", 1)))
+    ema_decay = float(getattr(cfg, "ema_decay", 0.0))
     if teacher is not None:
         t_model, t_vars = teacher
         t_vars = jax.tree.map(jnp.asarray, dict(t_vars))
@@ -177,6 +182,15 @@ def build_train_step(cfg, bundle: LossBundle, means, stds,
         updates, new_opt_state = state.tx.update(grads, state.opt_state,
                                                  state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if ema_decay > 0:
+            d = jnp.float32(ema_decay)
+            new_ema = jax.tree.map(
+                lambda e, p: (e * d
+                              + p.astype(jnp.float32) * (1 - d)).astype(
+                                  e.dtype),
+                state.ema_params, new_params)
+        else:
+            new_ema = state.ema_params  # None: empty pytree, select is a no-op
 
         # skip-update guard: non-finite loss or gradient norm → keep state
         ok = jnp.isfinite(total) & jnp.isfinite(gnorm)
@@ -186,6 +200,7 @@ def build_train_step(cfg, bundle: LossBundle, means, stds,
             batch_stats=_select_tree(ok, new_stats, state.batch_stats),
             opt_state=_select_tree(ok, new_opt_state, state.opt_state),
             skipped_steps=state.skipped_steps + (1 - ok.astype(jnp.int32)),
+            ema_params=_select_tree(ok, new_ema, state.ema_params),
         )
         metrics = {k: v for k, v in terms.items()}
         metrics["grad_norm"] = gnorm
