@@ -20,6 +20,8 @@ def main(argv=None) -> None:
     p.add_argument("--config", default=None)
     p.add_argument("--stats_dir", default=None)
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--ema", action="store_true",
+                   help="deploy the EMA parameters (ema_decay > 0 runs)")
     p.add_argument("--decode_workers", type=int, default=4)
     p.add_argument("--fold_bn", action="store_true", default=True)
     p.add_argument("--no_fold_bn", dest="fold_bn", action="store_false")
@@ -38,7 +40,7 @@ def main(argv=None) -> None:
     from pcss_unet_tpu.models import unet_for_variables
 
     cfg = load_config(args.config)
-    variables = load_variables(args.weights)
+    variables = load_variables(args.weights, ema=args.ema)
     model = unet_for_variables(cfg, variables)
     means = stds = None
     if args.stats_dir:

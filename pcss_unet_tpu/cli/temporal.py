@@ -25,6 +25,8 @@ def main(argv=None) -> None:
     p.add_argument("--weights", required=True)
     p.add_argument("--config", default=None)
     p.add_argument("--stats_dir", default=None)
+    p.add_argument("--ema", action="store_true",
+                   help="measure the EMA parameters (ema_decay > 0 runs)")
     p.add_argument("--motion_vectors", default=None,
                    help=".npy [T-1, H, W, 2] per-pixel (dy, dx)")
     p.add_argument("--alpha", type=float, default=3.0,
@@ -48,7 +50,7 @@ def main(argv=None) -> None:
     from pcss_unet_tpu.models import unet_for_variables
 
     cfg = load_config(args.config)
-    variables = load_variables(args.weights)
+    variables = load_variables(args.weights, ema=args.ema)
     model = unet_for_variables(cfg, variables)
     means = stds = None
     if args.stats_dir:

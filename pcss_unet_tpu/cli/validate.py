@@ -19,6 +19,8 @@ def main(argv=None) -> None:
     p.add_argument("--output_dir", default="./consistency_out")
     p.add_argument("--config", default=None)
     p.add_argument("--stats_dir", default=None)
+    p.add_argument("--ema", action="store_true",
+                   help="validate the EMA parameters (ema_decay > 0 runs)")
     p.add_argument("--panel", action="store_true",
                    help="also write a side-by-side comparison figure "
                         "(reference validate_consistency.py matplotlib "
@@ -34,7 +36,7 @@ def main(argv=None) -> None:
     from pcss_unet_tpu.parity import validate_train_infer_consistency
 
     cfg = load_config(args.config)
-    variables = load_variables(args.weights)
+    variables = load_variables(args.weights, ema=args.ema)
     model = unet_for_variables(cfg, variables)
     means = stds = None
     if args.stats_dir:
