@@ -106,6 +106,28 @@ def main(argv=None) -> None:
             n, h, w, cfg.optimizer_type))
         logging.info("auto-selected batch_size=%d", cfg.batch_size)
 
+    if cfg.grad_accum_steps == 0:
+        # auto: smallest microbatch split whose activations fit HBM
+        import jax
+        import jax.numpy as jnp
+
+        from pcss_unet_tpu.utils.memory import check_memory, find_accum_steps
+
+        key = jax.random.PRNGKey(0)
+        variables = model.init({"params": key, "dropout": key},
+                               jnp.zeros((1, 64, 64, 4), jnp.float32), True)
+        n = param_count(variables["params"])
+        h, w = train_ds.sample_hw
+        a = find_accum_steps(n, cfg.batch_size, h, w, cfg.optimizer_type)
+        if a == cfg.batch_size and not check_memory(n, 1, h, w,
+                                                    cfg.optimizer_type):
+            logging.warning("even microbatch 1 exceeds the HBM estimate; "
+                            "proceeding with grad_accum_steps=%d and "
+                            "letting XLA decide", a)
+        cfg = cfg.replace(grad_accum_steps=a)
+        logging.info("auto-selected grad_accum_steps=%d (microbatch %d)",
+                     a, cfg.batch_size // a)
+
     from pcss_unet_tpu.models.vgg import vgg_weights_provenance
     from pcss_unet_tpu.train.checkpoint import check_resume_compat
 

@@ -114,7 +114,8 @@ class Config:
     # reference's OOM-retry loop (main.py:478-499) for reference-scale
     # batches (batch 8 @ 2048x1024): the per-microbatch activation
     # footprint is what must fit HBM, not the full batch's.  batch_size
-    # must be divisible by this.
+    # must be divisible by this.  0 = auto: the memory governor picks the
+    # smallest split whose microbatch fits the HBM estimate.
     grad_accum_steps: int = 1
 
     # Exponential moving average of the parameters: ema ← d·ema + (1−d)·θ

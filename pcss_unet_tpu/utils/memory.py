@@ -72,6 +72,24 @@ def check_memory(n_params: int, batch_size: int, height: int, width: int,
     return fits
 
 
+def find_accum_steps(n_params: int, batch_size: int, height: int,
+                     width: int, optimizer: str = "adamw",
+                     hbm_bytes: int | None = None) -> int:
+    """Smallest divisor A of ``batch_size`` whose microbatch (batch/A) fits
+    HBM — the gradient-accumulation auto-selector (cfg.grad_accum_steps=0).
+    Under accumulation only the per-microbatch activations are live, so the
+    check runs on the microbatch.  Returns ``batch_size`` (microbatch 1)
+    when even that estimate exceeds HBM — the caller warns, XLA gets the
+    final say."""
+    for a in range(1, batch_size + 1):
+        if batch_size % a:
+            continue
+        if check_memory(n_params, batch_size // a, height, width, optimizer,
+                        hbm_bytes=hbm_bytes):
+            return a
+    return batch_size
+
+
 def find_optimal_batch_size(n_params: int, height: int, width: int,
                             optimizer: str = "adamw", start: int = 1,
                             max_batch: int = 256,

@@ -102,6 +102,27 @@ def test_accum_rejects_indivisible_batch():
         step(state, x, y, jax.random.PRNGKey(0))
 
 
+def test_find_accum_steps_governor():
+    """The governor's auto mode: smallest divisor whose microbatch fits."""
+    from pcss_unet_tpu.utils.memory import (
+        estimate_memory_usage, find_accum_steps,
+    )
+
+    n = 15_700_000  # reference-net parameter count
+    gib = 1024 ** 3
+    a = find_accum_steps(n, 8, 1024, 2048, "adamw", hbm_bytes=2 * gib)
+    assert a > 1 and 8 % a == 0
+    est = estimate_memory_usage(n, 8 // a, 1024, 2048)
+    assert est["total"] * 1.2 <= 2 * gib
+    # a smaller split must NOT have fit (minimality)
+    smaller = [d for d in range(1, a) if 8 % d == 0]
+    for d in smaller:
+        est_d = estimate_memory_usage(n, 8 // d, 1024, 2048)
+        assert est_d["total"] * 1.2 > 2 * gib
+    # plenty of HBM → no split
+    assert find_accum_steps(n, 8, 64, 64, "adamw", hbm_bytes=2 * gib) == 1
+
+
 def test_accum_skip_guard_still_engages():
     """A non-finite microbatch poisons the accumulated gradient → the whole
     update is skipped, exactly like the accum=1 guard."""
