@@ -73,6 +73,32 @@ def test_sharded_train_step_matches_single_device(cpus, mesh_shape):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
 
+def test_sharded_grad_accum_matches_single_device(cpus):
+    """grad_accum_steps=2 under jit SPMD on a pure-DP mesh reproduces the
+    single-device accumulated update (the scan's microbatch reshape must
+    stay consistent with the batch sharding)."""
+    cfg = Config(batch_size=8, num_epochs=2, warmup_epochs=1,
+                 loss_type="standard", dropout_rate=0.0, grad_accum_steps=2)
+    model, state, bundle, means, stds, x, y = _setup(cfg)
+    step = build_train_step(cfg, bundle, means, stds, steps_per_epoch=4)
+    key = jax.random.PRNGKey(0)
+
+    s1, m1 = jax.jit(step)(state, jnp.asarray(x), jnp.asarray(y), key)
+
+    mesh = make_mesh(8, 1, devices=cpus)
+    state_sh = jax.device_put(state, replicate_sharding(mesh))
+    xs = jax.device_put(x, batch_sharding(mesh))
+    ys = jax.device_put(y, batch_sharding(mesh))
+    s8, m8 = jax.jit(step)(state_sh, xs, ys,
+                           jax.device_put(key, replicate_sharding(mesh)))
+
+    assert float(m8["total_loss"]) == pytest.approx(float(m1["total_loss"]),
+                                                    rel=1e-5)
+    for a, b in zip(jax.tree.leaves(jax.device_get(s1.params)),
+                    jax.tree.leaves(jax.device_get(s8.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_sharded_eval_step(cpus):
     cfg = Config(batch_size=8, dropout_rate=0.0)
     model, state, bundle, means, stds, x, y = _setup(cfg)
