@@ -14,4 +14,6 @@ for S in stack acc_shift; do
   echo "== bench.py PCSS_CONVBLOCK_TAPS=$S ==" | tee -a "$OUT"
   PCSS_CONVBLOCK_TAPS=$S timeout 1800 python bench.py | tee -a "$OUT"
 done
+echo "== 2K sweep (full + trimmed, all postures/taps) ==" | tee -a "$OUT"
+timeout 2400 python scripts/bench_2k.py | tee -a "$OUT"
 echo "wrote $OUT"
