@@ -289,6 +289,17 @@ def fit(cfg, model, train_loader: Loader, val_loader: Loader | None = None,
             if nv:
                 val_avg = {k: float(v) / nv
                            for k, v in jax.device_get(val_acc).items()}
+                if state.ema_params is not None:
+                    # second pass with the EMA weights (cfg.ema_decay):
+                    # the serving net's quality, observable during training
+                    ema_acc = None
+                    for xd, yd in val_batches():
+                        t2, _ = eval_step(
+                            state.replace(params=state.ema_params), xd, yd)
+                        ema_acc = (t2 if ema_acc is None else jax.tree.map(
+                            jax.numpy.add, ema_acc, t2))
+                    val_avg["total_loss_ema"] = float(
+                        jax.device_get(ema_acc["total_loss"])) / nv
                 log_loss_scalars(writer, "val", val_avg, epoch)
                 if image_every and last is not None:
                     log_image_grid(writer, jax.device_get(last[0]),

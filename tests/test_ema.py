@@ -169,6 +169,37 @@ def test_ema_checkpoint_loads_with_ema_disabled(tmp_path):
                  jax.device_get(state.params))
 
 
+def test_fit_logs_ema_validation(tmp_path, cpus):
+    """fit() with ema_decay>0 runs a second validation pass on the EMA
+    weights and reports it as val total_loss_ema."""
+    from pcss_unet_tpu.data import Loader, PackedDataset, compute_channel_stats
+    from pcss_unet_tpu.train import fit
+
+    out = str(tmp_path / "packs")
+    os.makedirs(out)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, HW, HW, 4)).astype(np.float32)
+    y = (x.mean(axis=-1, keepdims=True) > 0).astype(np.float32)
+    np.save(os.path.join(out, "train_inputs.npy"), x)
+    np.save(os.path.join(out, "train_labels.npy"), y)
+    np.save(os.path.join(out, "val_inputs.npy"), x[:4])
+    np.save(os.path.join(out, "val_labels.npy"), y[:4])
+    compute_channel_stats(out, "train", layout="nhwc")
+
+    cfg = Config(batch_size=4, num_epochs=2, warmup_epochs=1,
+                 validation_frequency=1, ema_decay=0.9,
+                 log_dir=str(tmp_path / "logs"))
+    model = UNet(encoder_widths=(8, 16), dtype=jnp.float32)
+    result = fit(cfg, model,
+                 Loader(PackedDataset(out, "train"), 4, shuffle=True, seed=0),
+                 Loader(PackedDataset(out, "val"), 4, shuffle=False),
+                 devices=cpus[:1], log_every=1)
+    v = result.history[0]["val"]
+    assert v is not None and "total_loss_ema" in v
+    assert np.isfinite(v["total_loss_ema"])
+    assert result.state.ema_params is not None
+
+
 def test_ema_load_variables_errors(tmp_path):
     from pcss_unet_tpu.infer import load_variables
 
