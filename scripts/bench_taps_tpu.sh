@@ -16,4 +16,6 @@ for S in stack acc_shift; do
 done
 echo "== 2K sweep (full + trimmed, all postures/taps) ==" | tee -a "$OUT"
 timeout 2400 python scripts/bench_2k.py | tee -a "$OUT"
+echo "== training throughput (incl. reference-scale 2K accum sweep) ==" | tee -a "$OUT"
+timeout 2400 python scripts/bench_train.py | tee -a "$OUT"
 echo "wrote $OUT"

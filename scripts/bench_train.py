@@ -17,7 +17,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_config(tag, batch, h, w, loss_type="standard", scan_len=8):
+def bench_config(tag, batch, h, w, loss_type="standard", scan_len=8,
+                 accum=1):
     import jax
     import jax.numpy as jnp
 
@@ -27,7 +28,7 @@ def bench_config(tag, batch, h, w, loss_type="standard", scan_len=8):
     from pcss_unet_tpu.train import build_train_step, create_train_state
 
     cfg = Config(batch_size=batch, num_epochs=100, warmup_epochs=5,
-                 loss_type=loss_type)
+                 loss_type=loss_type, grad_accum_steps=accum)
     model = UNet(dtype=jnp.bfloat16)
     state = create_train_state(model, cfg, steps_per_epoch=100,
                                sample_shape=(batch, h, w, 4))
@@ -65,6 +66,7 @@ def bench_config(tag, batch, h, w, loss_type="standard", scan_len=8):
         "unit": "steps/sec",
         "ms_per_step": round(dt * 1e3, 2),
         "batch": batch, "frame": f"{w}x{h}", "loss_type": loss_type,
+        "grad_accum_steps": accum,
     }))
 
 
@@ -73,6 +75,16 @@ def main() -> None:
     bench_config("256crop_b8_perturb", 8, 256, 256, loss_type="perturb",
                  scan_len=4)
     bench_config("1080p_b1_standard", 1, 1088, 1920, scan_len=2)
+    # the reference's full training config (config.ini: 2048x1024, batch 8)
+    # under gradient accumulation — whichever splits fit report their cost
+    for accum in (1, 2, 4, 8):
+        try:
+            bench_config(f"2k_b8_accum{accum}_standard", 8, 1024, 2048,
+                         scan_len=2, accum=accum)
+        except Exception as e:  # noqa: BLE001 — e.g. HBM exhausted
+            print(json.dumps({"metric":
+                              f"train_steps_per_sec[2k_b8_accum{accum}]",
+                              "error": str(e)[:200]}), file=sys.stderr)
 
 
 if __name__ == "__main__":
