@@ -23,6 +23,8 @@ def main() -> None:
     p.add_argument("--out", required=True, help="output .pth path")
     p.add_argument("--epoch", type=int, default=0)
     p.add_argument("--loss", type=float, default=0.0)
+    p.add_argument("--ema", action="store_true",
+                   help="export the EMA parameters (ema_decay > 0 runs)")
     args = p.parse_args()
 
     import torch
@@ -30,7 +32,7 @@ def main() -> None:
     from pcss_unet_tpu.infer.frame import load_variables
     from pcss_unet_tpu.models.torch_import import export_to_torch_state_dict
 
-    variables = load_variables(args.checkpoint)
+    variables = load_variables(args.checkpoint, ema=args.ema)
     flat = export_to_torch_state_dict(variables)
     state_dict = {k: torch.from_numpy(np.asarray(v).copy())
                   for k, v in flat.items()}
