@@ -95,3 +95,12 @@ def test_save_config_roundtrip(tmp_path):
     save_config(cfg, path)
     data = json.load(open(path))
     assert data["batch_size"] == 3 and data["loss_type"] == "perturb"
+
+
+def test_new_training_keys_load_from_ini(tmp_path):
+    """Round-3 keys (gradient accumulation, EMA) ride the same INI schema."""
+    ini = tmp_path / "t.ini"
+    ini.write_text("[base]\ngrad_accum_steps = 4\nema_decay = 0.999\n")
+    cfg = load_config(str(ini))
+    assert cfg.grad_accum_steps == 4
+    assert cfg.ema_decay == pytest.approx(0.999)
