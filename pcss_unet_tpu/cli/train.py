@@ -93,7 +93,10 @@ def main(argv=None) -> None:
                         "main.py:548-561 behavior)")
         val_ds = None
 
-    if cfg.batch_size == 0:
+    if cfg.batch_size == 0 or cfg.grad_accum_steps == 0:
+        # memory-governor prologue shared by both auto modes: parameter
+        # count and the shape the step will actually train on (crops when
+        # configured, else the full pack frames)
         import jax
         import jax.numpy as jnp
 
@@ -102,31 +105,34 @@ def main(argv=None) -> None:
                                jnp.zeros((1, 64, 64, 4), jnp.float32), True)
         n = param_count(variables["params"])
         h, w = train_ds.sample_hw
-        cfg = cfg.replace(batch_size=find_optimal_batch_size(
-            n, h, w, cfg.optimizer_type))
+        if cfg.crop_height and cfg.crop_width:
+            h, w = cfg.crop_height, cfg.crop_width
+
+    if cfg.batch_size == 0:
+        cfg = cfg.replace(batch_size=min(
+            find_optimal_batch_size(n, h, w, cfg.optimizer_type),
+            max(1, len(train_ds))))  # no point exceeding the dataset
         logging.info("auto-selected batch_size=%d", cfg.batch_size)
 
     if cfg.grad_accum_steps == 0:
-        # auto: smallest microbatch split whose activations fit HBM
+        # auto: smallest microbatch split whose PER-CHIP activations fit
+        # HBM (under data parallelism each chip sees batch/dp samples)
         import jax
-        import jax.numpy as jnp
 
         from pcss_unet_tpu.utils.memory import check_memory, find_accum_steps
 
-        key = jax.random.PRNGKey(0)
-        variables = model.init({"params": key, "dropout": key},
-                               jnp.zeros((1, 64, 64, 4), jnp.float32), True)
-        n = param_count(variables["params"])
-        h, w = train_ds.sample_hw
-        a = find_accum_steps(n, cfg.batch_size, h, w, cfg.optimizer_type)
-        if a == cfg.batch_size and not check_memory(n, 1, h, w,
-                                                    cfg.optimizer_type):
+        dp = (cfg.data_parallel if cfg.data_parallel > 0
+              else max(1, jax.device_count()))
+        per_chip = max(1, cfg.batch_size // dp)
+        a = find_accum_steps(n, per_chip, h, w, cfg.optimizer_type)
+        if a == per_chip and not check_memory(n, 1, h, w,
+                                              cfg.optimizer_type):
             logging.warning("even microbatch 1 exceeds the HBM estimate; "
                             "proceeding with grad_accum_steps=%d and "
                             "letting XLA decide", a)
         cfg = cfg.replace(grad_accum_steps=a)
-        logging.info("auto-selected grad_accum_steps=%d (microbatch %d)",
-                     a, cfg.batch_size // a)
+        logging.info("auto-selected grad_accum_steps=%d (per-chip "
+                     "microbatch %d over dp=%d)", a, per_chip // a, dp)
 
     from pcss_unet_tpu.models.vgg import vgg_weights_provenance
     from pcss_unet_tpu.train.checkpoint import check_resume_compat

@@ -206,8 +206,9 @@ class CheckpointManagerWrapper:
             "skipped_steps": state.skipped_steps,
             "cursor_batch": np.asarray(-1, np.int64),
         }
+        saved_keys = self._saved_keys(step_id)
         ema_template = state.ema_params is not None
-        if self._has_leaf(step_id, "ema_params"):
+        if saved_keys is None or "ema_params" in saved_keys:
             # Orbax restore templates must match the on-disk tree exactly;
             # when EMA is disabled the raw params serve as the (same-shaped)
             # template and the restored average is dropped below.
@@ -217,7 +218,7 @@ class CheckpointManagerWrapper:
         # tree's metadata (a blanket except here would also swallow real
         # restore failures — corruption, shape mismatch — and silently
         # replay an epoch).
-        if not self._has_leaf(step_id, "cursor_batch"):
+        if saved_keys is not None and "cursor_batch" not in saved_keys:
             template.pop("cursor_batch")
             restored = self.manager.restore(
                 step_id, args=ocp.args.StandardRestore(template))
@@ -244,21 +245,21 @@ class CheckpointManagerWrapper:
                         if ema_template else None),
         ), cursor
 
-    def _has_leaf(self, step_id: int, key: str) -> bool:
-        """True if the saved tree at step_id contains the top-level ``key``
-        (checkpoints written before the mid-epoch cursor / EMA existed
-        lack those).  A manager that hasn't saved in this process returns
+    def _saved_keys(self, step_id: int) -> set | None:
+        """Top-level keys of the saved tree at step_id, or None when the
+        metadata cannot be read (callers must then treat every key as
+        possibly present, so real restore errors surface from restore(),
+        not here).  Detects layouts that predate the mid-epoch cursor /
+        EMA.  A manager that hasn't saved in this process returns
         ``item_metadata(...) = None`` (no handler registered yet), so fall
-        back to reading the step directory's metadata directly.
-        Conservative: if both reads fail, the key counts as present so real
-        restore errors surface from restore(), not here."""
+        back to reading the step directory's metadata directly."""
         try:
             meta = self.manager.item_metadata(step_id)
             tree = getattr(meta, "item_metadata", meta)
             if hasattr(tree, "tree"):   # CompositeItemMetadata-style
                 tree = tree.tree
             if tree is not None:
-                return key in tree
+                return set(tree)
         except Exception:  # noqa: BLE001 — metadata API drift only
             pass
         try:
@@ -270,9 +271,9 @@ class CheckpointManagerWrapper:
             tree = meta.item_metadata if hasattr(meta, "item_metadata") else meta
             if hasattr(tree, "tree"):
                 tree = tree.tree
-            return key in tree
+            return set(tree)
         except Exception:  # noqa: BLE001
-            return True
+            return None
 
     def close(self) -> None:
         self.manager.close()

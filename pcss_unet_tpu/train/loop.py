@@ -95,7 +95,15 @@ def fit(cfg, model, train_loader: Loader, val_loader: Loader | None = None,
         dp = math.gcd(train_loader.batch_size,
                       len(devs) // cfg.spatial_parallel)
     mesh = make_mesh(dp, cfg.spatial_parallel, devs)
-    steps_per_epoch = max(1, train_loader.batches_per_epoch())
+    if train_loader.batches_per_epoch() < 1:
+        # silently training zero batches per epoch reports loss=inf and
+        # saves nothing — make the misconfiguration loud instead
+        raise ValueError(
+            f"batch_size {train_loader.batch_size} yields no full batch "
+            f"from {len(train_loader.ds)} training samples"
+            f"{' on this host shard' if train_loader.shard_count > 1 else ''}"
+            " — lower batch_size")
+    steps_per_epoch = train_loader.batches_per_epoch()
     ds = train_loader.ds
     sample_hw = ds.sample_hw
 
@@ -278,28 +286,29 @@ def fit(cfg, model, train_loader: Loader, val_loader: Loader | None = None,
         val_avg = None
         if val_loader is not None and (epoch % cfg.validation_frequency == 0):
             val_acc = None   # device-side sums; one transfer at epoch end
+            ema_acc = None
             nv = 0
             last = None
+            ema_state = (state.replace(params=state.ema_params)
+                         if state.ema_params is not None else None)
             for xd, yd in val_batches():
                 terms, out = eval_step(state, xd, yd)
                 last = (xd, out, yd)
                 val_acc = terms if val_acc is None else jax.tree.map(
                     jax.numpy.add, val_acc, terms)
+                if ema_state is not None:
+                    # same batch through the EMA weights (cfg.ema_decay):
+                    # the serving net's quality, observable during training
+                    t2, _ = eval_step(ema_state, xd, yd)
+                    ema_acc = (t2["total_loss"] if ema_acc is None
+                               else ema_acc + t2["total_loss"])
                 nv += 1
             if nv:
                 val_avg = {k: float(v) / nv
                            for k, v in jax.device_get(val_acc).items()}
-                if state.ema_params is not None:
-                    # second pass with the EMA weights (cfg.ema_decay):
-                    # the serving net's quality, observable during training
-                    ema_acc = None
-                    for xd, yd in val_batches():
-                        t2, _ = eval_step(
-                            state.replace(params=state.ema_params), xd, yd)
-                        ema_acc = (t2 if ema_acc is None else jax.tree.map(
-                            jax.numpy.add, ema_acc, t2))
+                if ema_acc is not None:
                     val_avg["total_loss_ema"] = float(
-                        jax.device_get(ema_acc["total_loss"])) / nv
+                        jax.device_get(ema_acc)) / nv
                 log_loss_scalars(writer, "val", val_avg, epoch)
                 if image_every and last is not None:
                     log_image_grid(writer, jax.device_get(last[0]),

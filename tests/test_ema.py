@@ -193,7 +193,8 @@ def test_fit_logs_ema_validation(tmp_path, cpus):
     result = fit(cfg, model,
                  Loader(PackedDataset(out, "train"), 4, shuffle=True, seed=0),
                  Loader(PackedDataset(out, "val"), 4, shuffle=False),
-                 devices=cpus[:1], log_every=1)
+                 devices=cpus[:1], log_every=1,
+                 checkpoint_dir=str(tmp_path / "ckpt"))
     v = result.history[0]["val"]
     assert v is not None and "total_loss_ema" in v
     assert np.isfinite(v["total_loss_ema"])
