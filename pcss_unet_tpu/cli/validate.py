@@ -21,6 +21,14 @@ def main(argv=None) -> None:
     p.add_argument("--stats_dir", default=None)
     p.add_argument("--ema", action="store_true",
                    help="validate the EMA parameters (ema_decay > 0 runs)")
+    p.add_argument("--fold_bn", action="store_true",
+                   help="inference pathway in the deployment posture "
+                        "(folded BN + fused kernels where available)")
+    p.add_argument("--quantize", choices=["none", "int8"], default="none",
+                   help="inference pathway with int8 MXU blocks "
+                        "(requires --fold_bn)")
+    p.add_argument("--bf16", action="store_true",
+                   help="inference pathway in bf16 (the serving dtype)")
     p.add_argument("--panel", action="store_true",
                    help="also write a side-by-side comparison figure "
                         "(reference validate_consistency.py matplotlib "
@@ -42,9 +50,19 @@ def main(argv=None) -> None:
     if args.stats_dir:
         means, stds = load_channel_stats(args.stats_dir)
     frame = read_exr_stack(args.input)
+    engine_kwargs = {}
+    if args.fold_bn:
+        engine_kwargs["fold_bn"] = True
+    if args.quantize != "none":
+        engine_kwargs["quantize"] = args.quantize
+    if args.bf16:
+        import jax.numpy as jnp
+
+        engine_kwargs["dtype"] = jnp.bfloat16
     res = validate_train_infer_consistency(model, variables, frame,
                                            means=means, stds=stds,
-                                           pad_multiple=cfg.pad_multiple)
+                                           pad_multiple=cfg.pad_multiple,
+                                           **engine_kwargs)
     os.makedirs(args.output_dir, exist_ok=True)
     write_mask_png(os.path.join(args.output_dir, "train_pathway.png"),
                    res["train_pathway"])

@@ -36,9 +36,17 @@ def compare_outputs(a: np.ndarray, b: np.ndarray,
 
 def validate_train_infer_consistency(model, variables: dict,
                                      frame: np.ndarray, *, means=None,
-                                     stds=None, pad_multiple: int = 16) -> dict:
+                                     stds=None, pad_multiple: int = 16,
+                                     **engine_kwargs) -> dict:
     """Run ``frame`` [H, W, 4] through the training-visualization pathway and
-    the inference pathway; → comparison dict + both outputs."""
+    the inference pathway; → comparison dict + both outputs.
+
+    ``engine_kwargs`` (e.g. ``fold_bn=True``, ``quantize='int8'``,
+    ``dtype=jnp.bfloat16``) select the inference pathway's deployment
+    posture, so the harness can gate the exact serving configuration
+    against the training pathway (int8/bf16 postures won't be EXACT; the
+    reference's PSNR>50 threshold is the pass bar,
+    validate_consistency.py:186-191)."""
     import jax.numpy as jnp
 
     from pcss_unet_tpu.infer.frame import InferenceEngine, pad_to_multiple
@@ -58,9 +66,10 @@ def validate_train_infer_consistency(model, variables: dict,
          "batch_stats": variables.get("batch_stats", {})},
         xs, False))[:, :h, :w, :][0]
 
-    # pathway B: the inference engine (fp32 for the comparison)
+    # pathway B: the inference engine (fp32 unless the posture overrides)
+    engine_kwargs.setdefault("dtype", jnp.float32)
     engine = InferenceEngine(model, variables, means=means, stds=stds,
-                             dtype=jnp.float32, pad_multiple=pad_multiple)
+                             pad_multiple=pad_multiple, **engine_kwargs)
     out_b = engine(frame)
 
     result = compare_outputs(out_a, out_b)

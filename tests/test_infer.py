@@ -147,6 +147,18 @@ def test_train_infer_consistency(model_and_vars, rng):
     assert res["verdict"] in ("exact", "pass"), (res["mse"], res["psnr"])
 
 
+def test_train_infer_consistency_deployment_posture(model_and_vars, rng):
+    """The harness gates the serving posture too: folded-BN bf16 inference
+    pathway vs the fp32 training pathway still clears the reference's
+    PSNR>50 bar (cli.validate --fold_bn --bf16)."""
+    model, variables = model_and_vars
+    frame = rng.standard_normal((48, 64, 4)).astype(np.float32)
+    res = validate_train_infer_consistency(model, variables, frame,
+                                           fold_bn=True,
+                                           dtype=jnp.bfloat16)
+    assert res["verdict"] in ("exact", "pass"), (res["mse"], res["psnr"])
+
+
 def test_fold_bn_exact(model_and_vars, rng):
     """BN folding is mathematically exact at inference (fold_bn.py)."""
     model, variables = model_and_vars
