@@ -404,6 +404,13 @@ class ExrFile:
                       for ch in self.channels]
         raw_size = sum(row_nbytes) * n_lines
         if self.compression == COMP_NONE or len(payload) >= raw_size:
+            if len(payload) < raw_size:
+                # matches the native codec's rejection (exr_codec.cpp
+                # decode_block) so the differential contract holds on
+                # crafted undersized COMP_NONE chunks
+                raise IOError(
+                    f"uncompressed chunk shorter than its line block "
+                    f"({len(payload)} < {raw_size} bytes)")
             raw = payload   # stored raw (incompressible block)
         elif self.compression in (COMP_DWAA, COMP_DWAB):
             from pcss_unet_tpu.io.dwa import dwa_decompress

@@ -127,12 +127,15 @@ def fit(cfg, model, train_loader: Loader, val_loader: Loader | None = None,
         # distillation: eval-mode soft targets from a trained full-size net
         # (paper.md:143 deployment trimming; see train/step.py)
         from pcss_unet_tpu.infer import load_variables
-        from pcss_unet_tpu.models import unet_from_config
+        from pcss_unet_tpu.models import unet_for_variables
 
+        # distill_teacher_depth/width are only the fallback — like every
+        # other checkpoint consumer, the teacher checkpoint itself is the
+        # authority on its architecture (models.unet_for_variables)
         t_cfg = cfg.replace(model_depth=cfg.distill_teacher_depth,
                             base_width=cfg.distill_teacher_width)
-        teacher = (unet_from_config(t_cfg),
-                   load_variables(cfg.distill_teacher))
+        t_vars = load_variables(cfg.distill_teacher)
+        teacher = (unet_for_variables(t_cfg, t_vars), t_vars)
         logging.info("distillation on: teacher=%s (depth %d, width %d), "
                      "weight %.3f", cfg.distill_teacher,
                      cfg.distill_teacher_depth, cfg.distill_teacher_width,

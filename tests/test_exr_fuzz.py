@@ -202,12 +202,25 @@ def test_overlapping_and_short_chunks_rejected(tmp_path, rng):
     def short_none(b, offs):      # raw chunk shorter than its line block
         struct.pack_into("<i", b, offs[0] + 4, 8)
 
-    cases = [patched(zip_p, dup_y), patched(zip_p, unaligned_y),
-             patched(tiled_p, dup_tile), patched(none_p, short_none)]
+    # the insidious variant: a 2-channel NONE file truncated to EXACTLY the
+    # first channel's row — reading only that channel would "succeed" off
+    # the short buffer unless the codec validates the whole line block
+    ab_p = str(tmp_path / "ab.exr")
+    write_exr(ab_p, {"A": chan["R"], "B": chan["R"] + 1.0},
+              compression=exr_py.COMP_NONE)
+
+    def short_none_first_channel(b, offs):
+        struct.pack_into("<i", b, offs[0] + 4, w * 4)
+
+    cases = [(patched(zip_p, dup_y), ["R"]),
+             (patched(zip_p, unaligned_y), ["R"]),
+             (patched(tiled_p, dup_tile), ["R"]),
+             (patched(none_p, short_none), ["R"]),
+             (patched(ab_p, short_none_first_channel), ["A"])]
     from pcss_unet_tpu.io.exr import _read_channels_native
-    for p in cases:
+    for p, names in cases:
         with pytest.raises(Exception):
-            exr_py.read_exr_channels_py(p, ["R"])
+            exr_py.read_exr_channels_py(p, names)
         if _load_native() is not None:
             with pytest.raises(IOError):
-                _read_channels_native(p, ["R"])
+                _read_channels_native(p, names)
