@@ -16,6 +16,8 @@ echo "== 2K sweep (full + trimmed, all postures/taps) ==" | tee -a "$OUT"
 timeout 2400 python scripts/bench_2k.py | tee -a "$OUT"
 echo "== per-stage kernel A/B ==" | tee -a "$OUT"
 timeout 1200 python scripts/bench_convblock.py | tee -a "$OUT"
+echo "== small-channel floor discrimination ==" | tee -a "$OUT"
+timeout 1200 python scripts/bench_floor.py | tee -a "$OUT"
 echo "== bench.py PCSS_CONVBLOCK_TAPS=acc_shift ==" | tee -a "$OUT"
 PCSS_CONVBLOCK_TAPS=acc_shift timeout 1800 python bench.py | tee -a "$OUT"
 echo "== training throughput (incl. reference-scale 2K accum sweep) ==" | tee -a "$OUT"
