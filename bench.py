@@ -146,6 +146,46 @@ def main() -> None:
         finally:
             os.environ.pop("PCSS_CONVBLOCK_TAPS", None)
 
+    # Secondary: trimmed w16 net at the paper-native 2048×1024 (the
+    # BASELINE.md row-1 comparison point, paper's optimized net = 5.8 ms).
+    # Reported as extra keys on the same JSON line; failures are dropped
+    # silently so the headline always prints.
+    trimmed_2k_ms = None
+    try:
+        t_bn = UNet(encoder_widths=(16, 32, 128, 256), dtype=jnp.bfloat16)
+        t_vars = t_bn.init({"params": key, "dropout": key},
+                           jnp.zeros((1, 64, 64, 4), jnp.float32), False)
+        t_folded = fold_batchnorm(dict(t_vars))
+        t_model = t_bn.clone(normalization="none", fused_inference=True)
+        th = int(os.environ.get("PCSS_BENCH_2K_H", 1024))
+        tw = int(os.environ.get("PCSS_BENCH_2K_W", 2048))
+        t_scan = 16
+        os.environ["PCSS_CONVBLOCK_TAPS"] = "stack"
+
+        @jax.jit
+        def t_stream(p, s, x):
+            def body(carry, _):
+                out = t_model.apply({"params": p, "batch_stats": s},
+                                    x + carry * 1e-12, False)
+                return jnp.mean(out.astype(jnp.float32)), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=t_scan)
+            return acc
+
+        t_frames = jnp.asarray(
+            rng.standard_normal((1, th, tw, 4)).astype(np.float32))
+        float(t_stream(t_folded["params"], t_folded["batch_stats"], t_frames))
+        t_times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(t_stream(t_folded["params"], t_folded["batch_stats"],
+                           t_frames))
+            t_times.append(time.perf_counter() - t0)
+        trimmed_2k_ms = round(float(np.median(t_times)) / t_scan * 1e3, 2)
+    except Exception as e:  # noqa: BLE001
+        print(f"trimmed-2K secondary failed: {e}", file=sys.stderr)
+    finally:
+        os.environ.pop("PCSS_CONVBLOCK_TAPS", None)
+
     result = {
         "metric": "1080p_inference_frames_per_sec_per_chip",
         "value": round(best_fps, 3),
@@ -164,6 +204,10 @@ def main() -> None:
         # multi-chip hardware (VERDICT r1 weak #8).
         "note": "per-chip rate; 8-chip north star assumed linear (independent frames)",
     }
+    if trimmed_2k_ms is not None:
+        result["trimmed_2k_ms_per_frame"] = trimmed_2k_ms
+        result["trimmed_2k_vs_paper_optimized_5.8ms"] = round(
+            5.8 / trimmed_2k_ms, 3)
     if best_fps > 0 and "TPU" in result["device"]:
         try:
             os.makedirs(os.path.dirname(_LAST_GOOD), exist_ok=True)
