@@ -19,11 +19,13 @@ the framework's analogue of sequence parallelism for a convolutional model
 
 2. ``infer_tiled`` — explicit overlapping tiles with feathered blending, for
    frames exceeding HBM or when running many tiles as one MXU-friendly
-   batch.  Tiles of ``tile×tile`` with a ``halo`` overlap are batched through
-   the engine in one forward; seams are blended with a separable linear
+   batch.  Tiles of ``tile×tile`` with a ``halo`` overlap run through the
+   engine in bounded batches (``tile_batch``, so peak activation memory is
+   per-chunk, not per-frame); seams are blended with a separable linear
    feather (weights sum to 1 everywhere by construction).  The blend is a
-   bandwidth-bound elementwise op with a Pallas fused kernel
-   (ops/pallas/blend.py) and a jnp fallback.
+   bandwidth-bound scatter-accumulate with an on-device ``lax.scan``
+   formulation (ops/pallas/blend.py — deliberately NOT a Pallas scatter,
+   see its docstring) and a host-numpy fallback.
 """
 
 from __future__ import annotations
@@ -68,7 +70,7 @@ def infer_sharded(engine: InferenceEngine, frames: np.ndarray, mesh) -> np.ndarr
     if ph or pw:
         frames = np.pad(frames, ((0, 0), (0, ph), (0, pw), (0, 0)),
                         mode="reflect")
-    bspec = "data" if b % n_dp == 0 else None
+    bspec = "data" if n_dp > 1 and b % n_dp == 0 else None
     sharding = NamedSharding(mesh, P(bspec, "spatial"))
     x = jax.device_put(frames, sharding)
     # plain graph: the SPMD partitioner can't split a Pallas custom call
@@ -141,6 +143,12 @@ def plan_tiles(size: int, tile: int, overlap: int) -> list[int]:
     if tile >= size:
         return [0]
     stride = tile - overlap
+    if stride <= 0:
+        # stride 0 would crash range(); NEGATIVE stride is worse — it
+        # silently plans only the last tile and the rest of the frame
+        # blends to zero
+        raise ValueError(f"tile ({tile}) must exceed the overlap "
+                         f"({overlap} = 2*halo)")
     starts = list(range(0, size - tile, stride))
     starts.append(size - tile)
     return starts
@@ -148,11 +156,25 @@ def plan_tiles(size: int, tile: int, overlap: int) -> list[int]:
 
 def infer_tiled(engine: InferenceEngine, frame: np.ndarray,
                 tile: int = 512, halo: int = 32,
-                blend: str = "auto") -> np.ndarray:
+                blend: str = "auto", tile_batch: int = 16) -> np.ndarray:
     """Single frame [H, W, 4] → mask [H, W, 1] via overlapping tiles.
 
-    All tiles run as ONE batched forward (MXU-friendly), then are blended
-    back with feathered weights."""
+    Tiles run through the engine in batches of ``tile_batch`` (0 = all at
+    once) — bounding peak activation memory at per-chunk rather than
+    per-frame, which is the whole point of tiling a frame that itself
+    exceeds HBM — then blend back with feathered weights.
+    ``blend``: 'device' (default for 'auto': jitted scan, no host round
+    trip of the full-res accumulators) or 'host' (numpy)."""
+    if blend not in ("auto", "host", "device"):
+        raise ValueError(f"unknown blend mode: {blend!r} "
+                         "(expected auto | host | device)")
+    if 2 * halo >= tile:
+        raise ValueError(f"tile ({tile}) must exceed 2*halo ({2 * halo})")
+    if tile % engine.pad_multiple:
+        # run_padded takes already-aligned frames; an unaligned tile would
+        # come back resized and break the blend's shape contract
+        raise ValueError(f"tile ({tile}) must be a multiple of the "
+                         f"engine's pad_multiple ({engine.pad_multiple})")
     frame = np.asarray(frame, np.float32)
     h, w, c = frame.shape
     pad_h = max(0, tile - h)
@@ -165,7 +187,16 @@ def infer_tiled(engine: InferenceEngine, frame: np.ndarray,
     xs = plan_tiles(fw, tile, overlap)
     tiles = np.stack([frame[y:y + tile, x:x + tile] for y in ys for x in xs])
 
-    outs = engine.run_padded(jnp.asarray(tiles))          # [T, tile, tile, 1]
+    n_tiles = len(tiles)
+    tb = n_tiles if tile_batch <= 0 else min(tile_batch, n_tiles)
+    pad_t = (-n_tiles) % tb
+    if pad_t:  # equal chunks → ONE compiled forward shape
+        tiles = np.concatenate(
+            [tiles, np.zeros((pad_t, tile, tile, c), np.float32)])
+    chunks = [engine.run_padded(jnp.asarray(tiles[i:i + tb]))
+              for i in range(0, n_tiles + pad_t, tb)]
+    outs = (chunks[0] if len(chunks) == 1
+            else jnp.concatenate(chunks))[:n_tiles]  # [T, tile, tile, 1]
 
     # feathered accumulation (weights sum to 1 where tiles overlap exactly
     # `overlap`; frame borders renormalize to 1 via the norm division)
@@ -173,13 +204,16 @@ def infer_tiled(engine: InferenceEngine, frame: np.ndarray,
     wx = _feather_weights(tile, halo)
     w2d = np.outer(wy, wx).astype(np.float32)[..., None]  # [tile, tile, 1]
     offsets = np.array([(y, x) for y in ys for x in xs], np.int32)
+    # the weight-normalization field depends only on host-known geometry:
+    # build it once here instead of re-accumulating it on device per tile
+    norm = np.zeros((fh, fw, 1), np.float32)
+    for y, x in offsets:
+        norm[y:y + tile, x:x + tile] += w2d
     if blend == "host":
         acc = np.zeros((fh, fw, 1), np.float32)
-        norm = np.zeros((fh, fw, 1), np.float32)
         outs_np = np.asarray(outs)
         for t, (y, x) in enumerate(offsets):
             acc[y:y + tile, x:x + tile] += outs_np[t] * w2d
-            norm[y:y + tile, x:x + tile] += w2d
         out = acc / np.maximum(norm, 1e-8)
     else:
         # device blend: jitted scan of dynamic-slice accumulates — no host
@@ -187,5 +221,6 @@ def infer_tiled(engine: InferenceEngine, frame: np.ndarray,
         from pcss_unet_tpu.ops.pallas.blend import blend_tiles_device
 
         out = np.asarray(blend_tiles_device(outs, jnp.asarray(w2d),
-                                            jnp.asarray(offsets), (fh, fw)))
+                                            jnp.asarray(offsets), (fh, fw),
+                                            norm=jnp.asarray(norm)))
     return out[:h, :w]

@@ -89,6 +89,35 @@ def test_tiled_close_to_full(model_and_vars, rng):
     assert res["verdict"] in ("exact", "pass"), res
 
 
+def test_infer_tiled_input_guards(model_and_vars, rng):
+    """Misconfigurations fail loudly: tile <= 2*halo previously crashed in
+    range() or — with a negative stride — silently planned ONLY the last
+    tile (everything else blending to zero); an unaligned tile came back
+    resized from run_padded and broke the blend shapes."""
+    model, variables = model_and_vars
+    engine = InferenceEngine(model, variables, dtype=jnp.float32)
+    frame = rng.standard_normal((96, 100, 4)).astype(np.float32)
+    with pytest.raises(ValueError, match="2\\*halo"):
+        infer_tiled(engine, frame, tile=64, halo=32)
+    with pytest.raises(ValueError, match="2\\*halo"):
+        infer_tiled(engine, frame, tile=64, halo=40)
+    with pytest.raises(ValueError, match="pad_multiple"):
+        infer_tiled(engine, frame, tile=40, halo=4)
+    with pytest.raises(ValueError, match="blend"):
+        infer_tiled(engine, frame, tile=64, halo=8, blend="hots")
+
+
+def test_infer_tiled_chunked_matches_unchunked(model_and_vars, rng):
+    """tile_batch bounds peak memory without changing the result: chunked
+    forwards (incl. a padded final chunk) equal the all-at-once batch."""
+    model, variables = model_and_vars
+    engine = InferenceEngine(model, variables, dtype=jnp.float32)
+    frame = rng.standard_normal((96, 160, 4)).astype(np.float32)
+    all_at_once = infer_tiled(engine, frame, tile=64, halo=8, tile_batch=0)
+    chunked = infer_tiled(engine, frame, tile=64, halo=8, tile_batch=2)
+    np.testing.assert_allclose(chunked, all_at_once, rtol=0, atol=2e-6)
+
+
 def test_tiled_last_tile_over_overlap(model_and_vars, rng):
     """Non-divisible frames: the right-aligned last tile overlaps its
     neighbour by MORE than 2·halo (tiled.py plan_tiles right-alignment) —
