@@ -58,12 +58,13 @@ def load_variables(path: str, ema: bool = False) -> dict:
         # item name; bare StandardCheckpointer dirs hold it directly
         if os.path.isdir(os.path.join(path, "default")):
             path = os.path.join(path, "default")
+        from pcss_unet_tpu.train.checkpoint import unwrap_tree_metadata
+
         with ocp.StandardCheckpointer() as ckptr:
             # restore device-agnostic so checkpoints written on any mesh
             # load on any machine: rebuild the template from metadata with
             # a local single-device sharding, then pull to host
-            meta = ckptr.metadata(path)
-            tree = meta.item_metadata if hasattr(meta, "item_metadata") else meta
+            tree = unwrap_tree_metadata(ckptr.metadata(path))
             dev = jax.config.jax_default_device or jax.devices()[0]
             sharding = jax.sharding.SingleDeviceSharding(dev)
             template = jax.tree.map(
@@ -96,7 +97,11 @@ def pad_to_multiple(x: np.ndarray, multiple: int) -> tuple[np.ndarray, tuple]:
     ph = (-h) % multiple
     pw = (-w) % multiple
     if ph or pw:
-        x = np.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+        # reflect needs pad <= dim-1; frames smaller than the alignment
+        # (e.g. tiny probes routed here by the sharded paths' small-frame
+        # fallback) pad with edge replication instead of crashing
+        mode = "reflect" if (ph < h and pw < w) else "edge"
+        x = np.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode=mode)
     return x, (h, w)
 
 
@@ -154,6 +159,13 @@ class InferenceEngine:
         try:
             self.model = model.clone(**clone_kw)
         except TypeError:
+            if quantize == "int8":
+                # the caller explicitly asked for the int8 posture; a
+                # silent fall back to the fp graph would serve unquantized
+                # inference while they believe the benchmarked path is on
+                raise ValueError(
+                    "quantize='int8' requested but the model does not "
+                    f"accept clone(**{sorted(clone_kw)})") from None
             # model lacks the fused_inference deployment fields — the plain
             # graph is always a correct (just unfused) stand-in
             self.model = self.plain_model

@@ -38,6 +38,16 @@ RESUME_STRUCTURE_KEYS = ("model_depth", "base_width", "input_channels",
                          "optimizer_type")
 
 
+def unwrap_tree_metadata(meta):
+    """Orbax metadata object → the plain tree of leaf metadata.  Handles
+    the API drift between versions: ``.item_metadata`` wrappers and
+    Composite-style ``.tree`` holders."""
+    tree = getattr(meta, "item_metadata", meta)
+    if hasattr(tree, "tree"):
+        tree = tree.tree
+    return tree
+
+
 def has_checkpoints(directory: str) -> bool:
     """True if ``directory`` holds at least one Orbax step directory."""
     try:
@@ -254,10 +264,7 @@ class CheckpointManagerWrapper:
         ``item_metadata(...) = None`` (no handler registered yet), so fall
         back to reading the step directory's metadata directly."""
         try:
-            meta = self.manager.item_metadata(step_id)
-            tree = getattr(meta, "item_metadata", meta)
-            if hasattr(tree, "tree"):   # CompositeItemMetadata-style
-                tree = tree.tree
+            tree = unwrap_tree_metadata(self.manager.item_metadata(step_id))
             if tree is not None:
                 return set(tree)
         except Exception:  # noqa: BLE001 — metadata API drift only
@@ -268,10 +275,7 @@ class CheckpointManagerWrapper:
                 path = os.path.join(path, "default")
             with ocp.StandardCheckpointer() as ckptr:
                 meta = ckptr.metadata(path)
-            tree = meta.item_metadata if hasattr(meta, "item_metadata") else meta
-            if hasattr(tree, "tree"):
-                tree = tree.tree
-            return set(tree)
+            return set(unwrap_tree_metadata(meta))
         except Exception:  # noqa: BLE001
             return None
 

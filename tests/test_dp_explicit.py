@@ -126,3 +126,84 @@ def test_zero1_matches_replicated_explicit(cpus):
     for a, b in zip(jax.tree.leaves(jax.device_get(s_rep.params)),
                     jax.tree.leaves(jax.device_get(z.params))):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_explicit_dp_group_norm_model_runs(cpus):
+    """Non-BN models have no batch_stats collection to mutate; the step
+    must keep the empty stats tree instead of KeyError'ing at trace."""
+    cfg = Config(batch_size=4, num_epochs=2, warmup_epochs=1,
+                 dropout_rate=0.0, normalization="group_norm")
+    bundle = LossBundle(perceptual=PerceptualLoss(None, taps=(2,),
+                                                  tap_weights=(1.0,)))
+    mesh = Mesh(np.array(cpus[:4]).reshape(4), ("data",))
+    model = UNet(encoder_widths=(16, 32), dtype=jnp.float32,
+                 dropout_rate=0.0, normalization="group_norm")
+    state = create_train_state(model, cfg, 4, (4, 32, 32, 4))
+    step = build_explicit_dp_train_step(cfg, bundle,
+                                        np.zeros(4, np.float32),
+                                        np.ones(4, np.float32), 4,
+                                        mesh, model)
+    rng = np.random.default_rng(0)
+    x = jax.device_put(rng.standard_normal((4, 32, 32, 4)).astype(np.float32),
+                       batch_sharding_1d(mesh))
+    y = jax.device_put(rng.random((4, 32, 32, 1)).astype(np.float32),
+                       batch_sharding_1d(mesh))
+    s2, m = step(jax.device_put(state, replicate_sharding(mesh)), x, y,
+                 jax.device_put(jax.random.PRNGKey(0),
+                                replicate_sharding(mesh)))
+    assert np.isfinite(float(m["total_loss"]))
+    assert int(jax.device_get(s2.step)) == 1
+
+
+def test_explicit_dp_maintains_ema(cpus):
+    """ema_decay > 0 updates state.ema_params in the explicit step too
+    (previously it silently checkpointed the init-valued EMA)."""
+    d = 0.9
+    cfg = Config(batch_size=4, num_epochs=2, warmup_epochs=1,
+                 dropout_rate=0.0, ema_decay=d)
+    bundle = LossBundle(perceptual=PerceptualLoss(None, taps=(2,),
+                                                  tap_weights=(1.0,)))
+    mesh = Mesh(np.array(cpus[:4]).reshape(4), ("data",))
+    model = UNet(encoder_widths=(8, 16), dtype=jnp.float32,
+                 dropout_rate=0.0, bn_axis_name="data")
+    state = create_train_state(model, cfg, 4, (4, 32, 32, 4))
+    p0 = jax.device_get(state.params)
+    step = build_explicit_dp_train_step(cfg, bundle,
+                                        np.zeros(4, np.float32),
+                                        np.ones(4, np.float32), 4,
+                                        mesh, model)
+    rng = np.random.default_rng(0)
+    x = jax.device_put(rng.standard_normal((4, 32, 32, 4)).astype(np.float32),
+                       batch_sharding_1d(mesh))
+    y = jax.device_put(rng.random((4, 32, 32, 1)).astype(np.float32),
+                       batch_sharding_1d(mesh))
+    s2, _ = step(jax.device_put(state, replicate_sharding(mesh)), x, y,
+                 jax.device_put(jax.random.PRNGKey(0),
+                                replicate_sharding(mesh)))
+    jax.tree.map(
+        lambda e, a, b: np.testing.assert_allclose(
+            e, d * a + (1 - d) * b, rtol=1e-5, atol=1e-7),
+        jax.device_get(s2.ema_params), p0, jax.device_get(s2.params))
+
+
+def test_explicit_builders_reject_unsupported(cpus):
+    """Features only the auto-SPMD step composes fail loudly here instead
+    of silently training something else."""
+    from pcss_unet_tpu.parallel.dp import build_zero1_dp_train_step
+
+    bundle = LossBundle(perceptual=PerceptualLoss(None, taps=(2,),
+                                                  tap_weights=(1.0,)))
+    mesh = Mesh(np.array(cpus[:4]).reshape(4), ("data",))
+    model = UNet(encoder_widths=(8, 16), dtype=jnp.float32,
+                 bn_axis_name="data")
+    args = (bundle, np.zeros(4, np.float32), np.ones(4, np.float32), 4,
+            mesh, model)
+    with pytest.raises(ValueError, match="standard loss"):
+        build_explicit_dp_train_step(
+            Config(loss_type="perturb"), *args)
+    with pytest.raises(ValueError, match="accumulation"):
+        build_explicit_dp_train_step(
+            Config(grad_accum_steps=2), *args)
+    with pytest.raises(ValueError, match="EMA"):
+        build_zero1_dp_train_step(
+            Config(ema_decay=0.9), *args, state=None)
