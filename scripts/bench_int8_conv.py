@@ -15,9 +15,14 @@ NOTE: Mosaic compiles of the kernel take minutes per shape.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 from jax import lax
