@@ -16,6 +16,7 @@ import time
 import numpy as np
 
 BASELINE_FPS_PER_CHIP = 2000.0 / 60.0 / 8.0  # north-star per chip
+V5E_PEAK_BF16_TFLOPS = 197.0  # per-chip bf16 MXU peak (v5e); int8 is 2×
 
 
 def _device_reachable(attempts: int = 3, timeout_s: int = 240) -> bool:
@@ -96,12 +97,19 @@ def main() -> None:
     w = int(os.environ.get("PCSS_BENCH_W", 1920))
     rng = np.random.default_rng(0)
 
+    from pcss_unet_tpu.utils.benchlib import (forward_flops,
+                                              measure_ms_per_frame)
+
     best_fps = 0.0
     best_batch = 1
     best_impl = "plain"
     best_taps = "stack"
     # taps: fused-ConvBlock tap strategy (ops/pallas/convblock.py) — read
-    # from the env at trace time, so set it before each jit traces
+    # from the env at trace time, so set it before each jit traces.
+    # Measurement: the canonical carry-chained scan (utils/benchlib.py) —
+    # scan_len dependency-chained forwards per dispatch, chained through a
+    # tiny parameter leaf so LICM/DCE can't elide the work and the chain
+    # itself costs no frame-sized HBM pass.
     for batch, scan_len, impl, taps in (
             (1, 32, "fused_int8", "stack"), (1, 32, "fused_int8", "acc_shift"),
             (1, 32, "fused", "stack"), (1, 32, "plain", "stack"),
@@ -109,33 +117,12 @@ def main() -> None:
         model = models[impl]
         os.environ["PCSS_CONVBLOCK_TAPS"] = taps
         try:
-            # Streaming measurement: scan_len sequential forwards inside ONE
-            # dispatch, each depending on the previous result (the +carry·ε
-            # term) so XLA can neither dead-code-eliminate nor hoist the
-            # loop-invariant forward out of the scan (LICM would otherwise
-            # turn this into a single-forward measurement).  A bare
-            # block_until_ready can return early through remote-execution
-            # relays; forcing the final scalar is reliable, and the fixed
-            # dispatch overhead amortizes over scan_len * batch frames.
-            @jax.jit
-            def stream(p, s, x):
-                def body(carry, _):
-                    out = model.apply({"params": p, "batch_stats": s},
-                                      x + carry * 1e-12, False)
-                    return jnp.mean(out.astype(jnp.float32)), None
-                acc, _ = jax.lax.scan(body, jnp.float32(0), None,
-                                      length=scan_len)
-                return acc
-
             frames = jnp.asarray(
                 rng.standard_normal((batch, h, w, 4)).astype(np.float32))
-            float(stream(params, batch_stats, frames))  # compile + warm
-            times = []
-            for _ in range(4):
-                t0 = time.perf_counter()
-                float(stream(params, batch_stats, frames))
-                times.append(time.perf_counter() - t0)
-            fps = batch * scan_len / float(np.median(times))
+            ms = measure_ms_per_frame(
+                lambda v, x, m=model: m.apply(v, x, False),
+                params, batch_stats, frames, scan_len=scan_len)
+            fps = 1000.0 / ms
             if fps > best_fps:
                 best_fps, best_batch, best_impl, best_taps = (
                     fps, batch, impl, taps)
@@ -146,10 +133,28 @@ def main() -> None:
         finally:
             os.environ.pop("PCSS_CONVBLOCK_TAPS", None)
 
+    # Roofline accounting for the winning posture (VERDICT r3 weak #3):
+    # XLA's own FLOP count for one forward → implied model-level TFLOP/s at
+    # the measured rate → % of per-chip bf16 peak.
+    flops_per_frame = None
+    try:
+        os.environ["PCSS_CONVBLOCK_TAPS"] = best_taps
+        fl_frames = jnp.asarray(rng.standard_normal(
+            (best_batch, h, w, 4)).astype(np.float32))
+        total = forward_flops(
+            lambda v, x: models[best_impl].apply(v, x, False),
+            params, batch_stats, fl_frames)
+        if total:
+            flops_per_frame = total / best_batch
+    finally:
+        os.environ.pop("PCSS_CONVBLOCK_TAPS", None)
+
     # Secondary: trimmed w16 net at the paper-native 2048×1024 (the
     # BASELINE.md row-1 comparison point, paper's optimized net = 5.8 ms).
-    # Reported as extra keys on the same JSON line; failures are dropped
-    # silently so the headline always prints.
+    # Same canonical harness and settings as scripts/bench_2k.py, so the
+    # two artifacts agree by construction.  Reported as extra keys on the
+    # same JSON line; failures are dropped silently so the headline always
+    # prints.
     trimmed_2k_ms = None
     try:
         t_bn = UNet(encoder_widths=(16, 32, 128, 256), dtype=jnp.bfloat16)
@@ -159,28 +164,12 @@ def main() -> None:
         t_model = t_bn.clone(normalization="none", fused_inference=True)
         th = int(os.environ.get("PCSS_BENCH_2K_H", 1024))
         tw = int(os.environ.get("PCSS_BENCH_2K_W", 2048))
-        t_scan = 16
         os.environ["PCSS_CONVBLOCK_TAPS"] = "stack"
-
-        @jax.jit
-        def t_stream(p, s, x):
-            def body(carry, _):
-                out = t_model.apply({"params": p, "batch_stats": s},
-                                    x + carry * 1e-12, False)
-                return jnp.mean(out.astype(jnp.float32)), None
-            acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=t_scan)
-            return acc
-
         t_frames = jnp.asarray(
             rng.standard_normal((1, th, tw, 4)).astype(np.float32))
-        float(t_stream(t_folded["params"], t_folded["batch_stats"], t_frames))
-        t_times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(t_stream(t_folded["params"], t_folded["batch_stats"],
-                           t_frames))
-            t_times.append(time.perf_counter() - t0)
-        trimmed_2k_ms = round(float(np.median(t_times)) / t_scan * 1e3, 2)
+        trimmed_2k_ms = round(measure_ms_per_frame(
+            lambda v, x: t_model.apply(v, x, False),
+            t_folded["params"], t_folded["batch_stats"], t_frames), 2)
     except Exception as e:  # noqa: BLE001
         print(f"trimmed-2K secondary failed: {e}", file=sys.stderr)
     finally:
@@ -204,11 +193,19 @@ def main() -> None:
         # multi-chip hardware (VERDICT r1 weak #8).
         "note": "per-chip rate; 8-chip north star assumed linear (independent frames)",
     }
+    if flops_per_frame:
+        implied_tflops = flops_per_frame * best_fps / 1e12
+        result["flops_per_frame"] = round(flops_per_frame / 1e9, 2)  # GFLOP
+        result["implied_tflops"] = round(implied_tflops, 1)
+        result["pct_of_peak_bf16"] = round(
+            100.0 * implied_tflops / V5E_PEAK_BF16_TFLOPS, 1)
     if trimmed_2k_ms is not None:
         result["trimmed_2k_ms_per_frame"] = trimmed_2k_ms
         result["trimmed_2k_vs_paper_optimized_5.8ms"] = round(
             5.8 / trimmed_2k_ms, 3)
-    if best_fps > 0 and "TPU" in result["device"]:
+    if (best_fps > 0 and "TPU" in result["device"]
+            and os.environ.get("PCSS_BENCH_SMOKE") != "1"):
+        # never persist smoke-shrunk frames as the last-known-good
         try:
             os.makedirs(os.path.dirname(_LAST_GOOD), exist_ok=True)
             with open(_LAST_GOOD, "w") as f:

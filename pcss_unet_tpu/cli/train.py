@@ -62,6 +62,12 @@ def main(argv=None) -> None:
     p.add_argument("--distill_teacher_depth", type=int, default=None)
     p.add_argument("--distill_teacher_width", type=int, default=None)
     p.add_argument("--distill_weight", type=float, default=None)
+    p.add_argument("--allow_random_vgg", action="store_true",
+                   help="proceed even when no converted ImageNet VGG-19 "
+                        "artifact exists (vgg_weights_path unset/missing): "
+                        "the perceptual term then runs on seeded-random "
+                        "features — a usable embedding, but NOT loss-value "
+                        "parity with the reference (customLoss.py:20)")
     args = p.parse_args(argv)
 
     if args.multihost:
@@ -72,9 +78,32 @@ def main(argv=None) -> None:
     overrides = {k: v for k, v in vars(args).items()
                  if k not in ("config", "no_shuffle", "no_resume",
                               "profile_dir", "multihost", "grain",
-                              "grain_workers")
+                              "grain_workers", "allow_random_vgg")
                  and v is not None}
     cfg = load_config(args.config, overrides)
+
+    # The reference trains its perceptual term on ImageNet VGG-19 features
+    # (customLoss.py:20).  Without the converted artifact this framework
+    # can only offer seeded-random features — an explicit DECISION, not a
+    # warning buried in logs (VERDICT r3 next-#7): refuse unless the user
+    # opts in.  alpha == 1.0 means the VGG term has zero weight
+    # (customLoss.py:160 blend), so pure-L1 runs are unaffected.
+    from pcss_unet_tpu.models.vgg import vgg_weights_provenance
+
+    vgg_prov = vgg_weights_provenance(cfg.vgg_weights_path)
+    if (cfg.alpha < 1.0 and vgg_prov == "random-seeded-fallback"
+            and not args.allow_random_vgg):
+        raise SystemExit(
+            "loss_type %r blends a perceptual (VGG) term (alpha=%.2f < 1) "
+            "but no converted ImageNet VGG-19 artifact is available "
+            "(vgg_weights_path=%r). Either produce the artifact on a "
+            "machine with torchvision:\n"
+            "    python scripts/convert_vgg_weights.py --out "
+            "vgg19_imagenet.npz\n"
+            "and set vgg_weights_path, or pass --allow_random_vgg to train "
+            "on seeded-random VGG features (usable, but not loss-value "
+            "parity with the reference), or set alpha = 1.0 for pure L1."
+            % (cfg.loss_type, cfg.alpha, cfg.vgg_weights_path))
     if args.no_shuffle:
         cfg = cfg.replace(shuffle=False)
     if args.no_resume:

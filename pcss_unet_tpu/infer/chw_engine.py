@@ -1,0 +1,300 @@
+"""Channels-major end-to-end deployment forward (the 2K transpose-floor fix).
+
+The mixed NHWC model (models/unet.py) routes each small-channel block
+through the fused channels-major Pallas kernel via an NHWC wrapper that
+pads + transposes in and transposes + slices out — a pad/relayout pair
+per block invocation that the round-3 floor bench measured at ~0.5 ms per
+call at 2K shapes (core 1.46 ms vs nhwc_total 1.94 ms).  The trimmed net
+pays it at every fused block, so at 2048×1024 several milliseconds of the
+9-10 ms frame are pure layout traffic.
+
+This engine keeps the activation tensor in the kernels' native layout —
+``[N, C, H, Wp]`` with W zero-padded to the lane multiple — through the
+ENTIRE forward:
+
+- entry: one fused unshuffle+transpose+pad producing [N, in_ch·4, H/2, Wp]
+- fused ConvBlocks run ``fused_conv_block_chw`` directly (no wrapper)
+- pool / upsample / head-resize / skip-adds operate on the padded
+  channels-major tensor (the resize matrices are zero-padded so pad
+  columns stay zero through the contraction)
+- pad columns are re-zeroed after each kernel (its SAME-padding trick
+  needs zero pads on input; one cheap masked multiply ≪ a transpose)
+- blocks with no channels-major kernel (the wide ≥128-in stages) run in a
+  local NHWC interlude at the net's SMALL spatial levels, where the
+  transpose pair is cheap
+- exit: one fused slice+shuffle+transpose+sigmoid back to [N, H, W, out]
+
+Semantics match ``UNet.apply`` at inference (normalization='none', i.e.
+BN-folded params — models/fold_bn.py) to float-noise level; pinned by
+tests/test_chw_engine.py.  Reference semantics chain: Unetmodel.py:90-149.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcss_unet_tpu.models.unet import widths_from_params
+from pcss_unet_tpu.ops.pallas.convblock import fused_conv_block_chw
+from pcss_unet_tpu.ops.resize import compose_resize_matrices, interp_matrix
+
+
+def _wp(w: int) -> int:
+    """Lane-padded width: next multiple of 128 with ≥1 zero pad column."""
+    return (w // 128 + 1) * 128
+
+
+def _pad_matrix(m: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Embed [out,in] into [rows,cols]: zero rows → zero pad outputs, zero
+    cols → pad-column garbage in the input cannot leak in."""
+    out = np.zeros((rows, cols), np.float32)
+    out[:m.shape[0], :m.shape[1]] = m
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def _col_mask(wp: int, w: int) -> np.ndarray:
+    m = np.zeros((1, 1, 1, wp), np.float32)
+    m[..., :w] = 1.0
+    return m
+
+
+def _mask_pad(x: jax.Array, w: int) -> jax.Array:
+    """Re-zero the pad columns (kernel outputs leak edge values into them)."""
+    return x * jnp.asarray(_col_mask(x.shape[-1], w), x.dtype)
+
+
+def _entry_chw(x: jax.Array, dtype) -> jax.Array:
+    """[N,H,W,C] → pixel-unshuffled, channels-major, lane-padded
+    [N, C·4, H/2, Wp] (torch pixel_unshuffle channel order c·4+dy·2+dx,
+    Unetmodel.py:65-67)."""
+    n, h, w, c = x.shape
+    x = x.astype(dtype)
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)       # [N,H',dy,W',dx,C]
+    x = x.transpose(0, 5, 2, 4, 1, 3)               # [N,C,dy,dx,H',W']
+    x = x.reshape(n, c * 4, h // 2, w // 2)
+    return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, _wp(w // 2) - w // 2)))
+
+
+def _exit_nhwc(x: jax.Array, w: int, out_ch: int) -> jax.Array:
+    """[N, out·4, H', Wp] → slice true W', pixel-shuffle (inverse channel
+    order), → [N, H, W, out] with sigmoid (Unetmodel.py:86, 148)."""
+    n, c4, hh, wp = x.shape
+    x = x[..., :w // 2]
+    x = x.reshape(n, out_ch, 2, 2, hh, w // 2)      # [N,C,dy,dx,H',W']
+    x = x.transpose(0, 4, 2, 5, 3, 1)               # [N,H',dy,W',dx,C]
+    x = x.reshape(n, hh * 2, w, out_ch)
+    return jax.nn.sigmoid(x.astype(jnp.float32))
+
+
+def _pool2x_chw(x: jax.Array, w: int) -> jax.Array:
+    """2×2 average pool on the padded channels-major tensor; repads to the
+    half-width lane multiple.  Pad columns are zero on input (masked), so
+    pooled pads stay zero."""
+    n, c, h, wp = x.shape
+    x = x.reshape(n, c, h // 2, 2, wp // 2, 2).mean((3, 5))
+    half = w // 2
+    return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, _wp(half) - wp // 2)))
+
+
+def _resize_chw(x: jax.Array, m_h: np.ndarray, m_w_padded: np.ndarray,
+                dtype) -> jax.Array:
+    """Apply per-axis align-corners matrices to [N,C,H,Wp].  ``m_w_padded``
+    is already lane-padded (zero rows/cols) so the output keeps zero pads."""
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    if m_h is not None:
+        mh = jnp.asarray(m_h, dtype)
+        x = jnp.einsum("oh,nchw->ncow", mh, x, precision=prec,
+                       preferred_element_type=jnp.float32).astype(dtype)
+    if m_w_padded is not None:
+        mw = jnp.asarray(m_w_padded, dtype)
+        x = jnp.einsum("ow,nchw->ncho", mw, x, precision=prec,
+                       preferred_element_type=jnp.float32).astype(dtype)
+    return x
+
+
+def _upsample2x_chw(x: jax.Array, w: int, dtype) -> jax.Array:
+    n, c, h, wp = x.shape
+    m_h = interp_matrix(h, h * 2)
+    m_w = _pad_matrix(interp_matrix(w, w * 2), _wp(w * 2), wp)
+    return _resize_chw(x, m_h, m_w, dtype)
+
+
+def _block_chw(x, params, w, *, taps: str, dtype, interpret: bool):
+    """Folded ConvBlock through the channels-major kernel, no wrapper."""
+    ka = params["conv_a"]["kernel"].astype(dtype)      # [3,3,Cin,Cmid] HWIO
+    w1 = ka.transpose(0, 1, 3, 2).reshape(9, ka.shape[3], ka.shape[2])
+    w2 = params["conv_b"]["kernel"][0, 0].T.astype(dtype)
+    b1 = params["conv_a"]["bias"].astype(jnp.float32)[:, None]
+    b2 = params["conv_b"]["bias"].astype(jnp.float32)[:, None]
+    from pcss_unet_tpu.ops.pallas.convblock import _pick_k_rows
+
+    n, cin, h, wp = x.shape
+    k_rows = _pick_k_rows(cin, w1.shape[1], w2.shape[0], wp,
+                          itemsize=jnp.dtype(dtype).itemsize,
+                          acc_shift=taps == "acc_shift")
+    while h % k_rows:
+        k_rows //= 2
+    out = fused_conv_block_chw(x.astype(dtype), w1, b1, w2, b2,
+                               k_rows=k_rows, negative_slope=0.2,
+                               interpret=interpret,
+                               stack_taps=taps == "stack",
+                               acc_shift=taps == "acc_shift")
+    return _mask_pad(out, w)
+
+
+def _block_nhwc_plain(x, params, dtype):
+    """Folded ConvBlock as plain XLA NHWC convs (wide stages; the NHWC
+    interlude).  LeakyReLU(conv1×1(LeakyReLU(conv3×3(x)+b1))+b2)."""
+    dn = jax.lax.conv_dimension_numbers(x.shape,
+                                        params["conv_a"]["kernel"].shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    h = jax.lax.conv_general_dilated(
+        x.astype(dtype), params["conv_a"]["kernel"].astype(dtype),
+        (1, 1), "SAME", dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+    h = h + params["conv_a"]["bias"].astype(jnp.float32)
+    h = jnp.where(h >= 0, h, h * 0.2).astype(dtype)
+    out = jnp.einsum("nhwc,co->nhwo", h,
+                     params["conv_b"]["kernel"][0, 0].astype(dtype),
+                     preferred_element_type=jnp.float32)
+    out = out + params["conv_b"]["bias"].astype(jnp.float32)
+    return jnp.where(out >= 0, out, out * 0.2).astype(dtype)
+
+
+def _block_nhwc_dispatch(x, params, *, dtype, int8: bool, taps: str,
+                         interpret: bool):
+    """NHWC-interlude block dispatch mirroring ConvBlock's deployment gates
+    (models/unet.py:_int8able/_fusable128): int8 whole-block kernels for
+    the MXU-bound ≥256-in stages, the NHWC-native 128-kernel when it fits,
+    plain XLA otherwise."""
+    cin = x.shape[-1]
+    cout = params["conv_b"]["kernel"].shape[-1]
+    from pcss_unet_tpu.ops.pallas import pallas_available
+
+    have_pallas = interpret or pallas_available()
+    if (int8 and have_pallas and cin >= 256
+            and (cin * cout < 2 ** 18 or cin >= 1024)):
+        from pcss_unet_tpu.ops.int8 import quantize_kernel_int8
+        from pcss_unet_tpu.ops.pallas.block_int8 import (
+            fused_block_int8_kchunked, fused_block_int8_nhwc,
+            pick_k_rows_int8, pick_kchunked,
+        )
+
+        k = pick_k_rows_int8(x.shape[1], x.shape[2], cin, cout)
+        kc = None if k else pick_kchunked(x.shape[1], x.shape[2], cin, cout)
+        if k or kc:
+            w1q, s1 = quantize_kernel_int8(params["conv_a"]["kernel"])
+            w2q, s2 = quantize_kernel_int8(params["conv_b"]["kernel"])
+            args = (x.astype(dtype), w1q.reshape(9, *w1q.shape[2:]), s1,
+                    params["conv_a"]["bias"].astype(jnp.float32),
+                    w2q[0, 0], s2,
+                    params["conv_b"]["bias"].astype(jnp.float32))
+            if k:
+                return fused_block_int8_nhwc(*args, k_rows=k,
+                                             negative_slope=0.2,
+                                             interpret=interpret)
+            return fused_block_int8_kchunked(*args, k_rows=kc[0],
+                                             c_chunk=kc[1],
+                                             negative_slope=0.2,
+                                             interpret=interpret)
+    if have_pallas and cin == 128 and cout <= 128:
+        from pcss_unet_tpu.ops.pallas.convblock128 import (
+            fused_block128_nhwc, pick_k_rows_128,
+        )
+
+        k = pick_k_rows_128(x.shape[1], x.shape[2], cin, cout)
+        if k:
+            ka = params["conv_a"]["kernel"].astype(dtype)
+            return fused_block128_nhwc(
+                x.astype(dtype), ka.reshape(9, *ka.shape[2:]),
+                params["conv_a"]["bias"].astype(jnp.float32),
+                params["conv_b"]["kernel"][0, 0].astype(dtype),
+                params["conv_b"]["bias"].astype(jnp.float32),
+                k_rows=k, negative_slope=0.2, interpret=interpret)
+    return _block_nhwc_plain(x, params, dtype)
+
+
+def _to_nhwc(x: jax.Array, w: int) -> jax.Array:
+    return x[..., :w].transpose(0, 2, 3, 1)
+
+
+def _to_chw(x: jax.Array) -> jax.Array:
+    n, h, w, c = x.shape
+    x = x.transpose(0, 3, 1, 2)
+    return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, _wp(w) - w)))
+
+
+def _chw_fusable(cin: int, cout: int, use128: bool) -> bool:
+    """Which blocks stay channels-major: the ≤64-in stages the kernel wins
+    outright, plus (``use128``) the 128-in stages where the core only ties
+    XLA but staying in layout saves the transpose pair."""
+    if cin <= 64 and cout <= 128:
+        return True
+    return use128 and cin == 128 and cout <= 128
+
+
+def chw_forward(variables: dict, x: jax.Array, *,
+                dtype: Any = jnp.bfloat16, int8: bool = False,
+                taps: str = "stack", use128_chw: bool = True,
+                interpret: bool = False) -> jax.Array:
+    """Channels-major inference forward, semantics-equal to
+    ``UNet(normalization='none', ...).apply(variables, x, False)`` on
+    BN-folded params.  x [N,H,W,in_ch] with H, W even and pooling-aligned
+    (pad first — infer/frame.py's engine already pads to ×16)."""
+    params = variables["params"]
+    widths, in_ch, out_ch = widths_from_params(params)
+    n, h, w, c = x.shape
+    depth = len(widths)
+    align = 2 ** depth
+    if h % align or w % align:
+        raise ValueError(f"chw_forward needs H,W divisible by {align} "
+                         f"(got {h}x{w}); pad at the pipeline edge")
+
+    x = _entry_chw(x, dtype)                 # [N, in·4, H/2, Wp]
+    cur_w = w // 2
+    kw = dict(dtype=dtype, interpret=interpret)
+
+    def any_block(x, name, cur_w):
+        p = params[name]
+        cin = p["conv_a"]["kernel"].shape[2]
+        cout = p["conv_b"]["kernel"].shape[-1]
+        if _chw_fusable(cin, cout, use128_chw):
+            return _block_chw(x, p, cur_w, taps=taps, **kw)
+        out = _block_nhwc_dispatch(_to_nhwc(x, cur_w), p, int8=int8,
+                                   taps=taps, **kw)
+        return _to_chw(out)
+
+    skips = []
+    for i in range(depth - 1):
+        x = any_block(x, f"enc_{i}", cur_w)
+        skips.append((x, cur_w))
+        x = _pool2x_chw(x, cur_w)
+        cur_w //= 2
+    x = any_block(x, f"enc_{depth - 1}", cur_w)
+
+    for i, (skip, skip_w) in enumerate(reversed(skips)):
+        x = _upsample2x_chw(x, cur_w, dtype)
+        cur_w *= 2
+        x = any_block(x, f"dec_{i}", cur_w)
+        x = x + skip
+
+    # head: composed up-2×-then-match-down align-corners pair
+    # (Unetmodel.py:140-141; exact fold, models/unet.py fold_head_resize)
+    hh = x.shape[2]
+    m_h, m_w = compose_resize_matrices((hh, hh * 2, hh),
+                                       (cur_w, cur_w * 2, cur_w))
+    wp = x.shape[-1]
+    x = _resize_chw(x, m_h, _pad_matrix(m_w, wp, wp), dtype)
+    x = any_block(x, "dec_final", cur_w)
+    # 1×1 head conv as a channel contraction
+    hk = params["head"]["kernel"][0, 0].astype(dtype)     # [Cin, out·4]
+    x = jnp.einsum("oc,nchw->nohw", hk.T, x,
+                   preferred_element_type=jnp.float32)
+    x = x + params["head"]["bias"].astype(jnp.float32)[None, :, None, None]
+    x = x.astype(dtype)
+    return _exit_nhwc(x, w, out_ch)

@@ -62,6 +62,57 @@ def convert_features_module(seq) -> dict[str, np.ndarray]:
     return out
 
 
+def load_features_npz_into_torch(seq, npz) -> None:
+    """Inverse of ``convert_features_module``: load ``conv_{idx}_kernel``
+    (HWIO) / ``conv_{idx}_bias`` arrays into the torch tower's convs.
+    Convs beyond the npz's deepest key keep their init (the npz may be
+    truncated at ``max(taps)``)."""
+    import torch
+
+    with torch.no_grad():
+        for idx, layer in enumerate(seq):
+            key = f"conv_{idx}_kernel"
+            if getattr(layer, "weight", None) is None or key not in npz:
+                continue
+            w = np.transpose(np.asarray(npz[key]), (3, 2, 0, 1))  # HWIO→OIHW
+            layer.weight.copy_(torch.as_tensor(np.ascontiguousarray(w)))
+            layer.bias.copy_(
+                torch.as_tensor(np.asarray(npz[f"conv_{idx}_bias"])))
+
+
+def reference_vgg_loss_torch(seq, output_nhwc, target_nhwc,
+                             taps=(2, 7, 12, 21, 30),
+                             tap_weights=(0.25, 0.25, 0.3, 0.1, 0.1)) -> float:
+    """The reference ``MultiLayerVGGLoss`` semantics (customLoss.py:7-90),
+    written against the raw-torch tower: scrub non-finite (nan→0.5, +inf→1,
+    −inf→0), clamp to [0,1], repeat gray→3ch, normalize (x−0.485)/(0.229+1e-8),
+    per-tap L1 on features, blend with the weights normalized to sum 1.
+    Ground truth for loss-VALUE parity of losses/vgg.py."""
+    import torch
+
+    def prep(x_nhwc):
+        x = torch.as_tensor(np.asarray(x_nhwc, np.float32)).permute(0, 3, 1, 2)
+        x = torch.nan_to_num(x, nan=0.5, posinf=1.0, neginf=0.0)
+        x = torch.clamp(x, 0.0, 1.0)
+        x = x.repeat(1, 3, 1, 1)                         # customLoss.py:55-56
+        return (x - 0.485) / (0.229 + 1e-8)              # customLoss.py:39-40
+
+    w = np.asarray(tap_weights, np.float64)
+    w = w / w.sum()                                      # customLoss.py:34-36
+    total = 0.0
+    with torch.no_grad():
+        ho, ht = prep(output_nhwc), prep(target_nhwc)
+        for idx, layer in enumerate(seq):
+            ho, ht = layer(ho.clone()), layer(ht.clone())
+            if idx in set(taps):
+                t = sorted(taps).index(idx)
+                total += float(w[t]) * float(
+                    torch.mean(torch.abs(ho - ht)))
+            if idx >= max(taps):
+                break
+    return total
+
+
 def torch_tap_activations(seq, x_nchw, taps) -> list[np.ndarray]:
     """Run the torch tower, returning activations at the tap indices as
     NHWC numpy arrays (the Flax tower's output layout)."""

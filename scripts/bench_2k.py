@@ -17,7 +17,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -25,27 +24,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def measure(model, params, batch_stats, h, w, scan_len, reps=4):
-    import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def stream(p, s, x):
-        def body(carry, _):
-            out = model.apply({"params": p, "batch_stats": s},
-                              x + carry * 1e-12, False)
-            return jnp.mean(out.astype(jnp.float32)), None
-        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=scan_len)
-        return acc
+    from pcss_unet_tpu.utils.benchlib import measure_ms_per_frame
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.standard_normal((1, h, w, 4)).astype(np.float32))
-    float(stream(params, batch_stats, frames))  # compile + warm
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(stream(params, batch_stats, frames))
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times)) / scan_len * 1000.0  # ms/frame
+    return measure_ms_per_frame(lambda v, x: model.apply(v, x, False),
+                                params, batch_stats, frames,
+                                scan_len=scan_len, reps=reps)
 
 
 def main() -> None:
@@ -100,11 +87,33 @@ def main() -> None:
                 print(json.dumps(row), flush=True)
                 if net not in best or ms < best[net]["value"]:
                     best[net] = row
+    from pcss_unet_tpu.utils.benchlib import forward_flops
+
     for net, row in best.items():
-        print(json.dumps({**row, "metric": "2k_best_ms_per_frame",
-                          "paper_optimized_ms": 5.8,
-                          "vs_paper_optimized": round(5.8 / row["value"], 3)}),
-              flush=True)
+        summary = {**row, "metric": "2k_best_ms_per_frame",
+                   "paper_optimized_ms": 5.8,
+                   "vs_paper_optimized": round(5.8 / row["value"], 3)}
+        # roofline: XLA FLOP count of one plain-posture forward (posture-
+        # independent op semantics) at this net's best measured latency
+        try:
+            m = UNet(encoder_widths=nets[net], dtype=jnp.bfloat16,
+                     normalization="none")
+            v = fold_batchnorm(dict(UNet(encoder_widths=nets[net],
+                                         dtype=jnp.bfloat16).init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(0)},
+                jnp.zeros((1, 64, 64, 4), jnp.float32), False)))
+            fl = forward_flops(lambda vv, x: m.apply(vv, x, False),
+                               v["params"], v["batch_stats"],
+                               jnp.zeros((1, h, w, 4), jnp.float32))
+            if fl:
+                implied = fl / (row["value"] / 1e3) / 1e12
+                summary["flops_per_frame_gflop"] = round(fl / 1e9, 2)
+                summary["implied_tflops"] = round(implied, 1)
+                summary["pct_of_peak_bf16"] = round(100 * implied / 197.0, 1)
+        except Exception as e:  # noqa: BLE001
+            print(f"flops({net}) failed: {e}", file=sys.stderr)
+        print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

@@ -103,7 +103,7 @@ def main() -> None:
         write_ini(ini, proc_d, s_dir, base_width=16, epochs=args.epochs,
                   batch_size=args.batch_size)
         run([py, "-m", "pcss_unet_tpu.cli.train", "--config", ini,
-             "--no_resume"])
+             "--no_resume", "--allow_random_vgg"])
         rows.append({"model": f"student_w16_{tag}",
                      "n_real_labels": len(labeled),
                      "psnr_db": round(eval_psnr(latest_ckpt(s_dir), 16,

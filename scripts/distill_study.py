@@ -123,7 +123,7 @@ def main() -> None:
     write_ini(t_ini, proc, t_dir, base_width=64, epochs=args.epochs,
               batch_size=args.batch_size)
     run([py, "-m", "pcss_unet_tpu.cli.train", "--config", t_ini,
-         "--no_resume"])
+         "--no_resume", "--allow_random_vgg"])
     t_ckpt = latest_ckpt(t_dir)
     rows.append({"model": "teacher_w64", "psnr_db":
                  round(eval_psnr(t_ckpt, 64, proc, data), 2)})
@@ -135,7 +135,7 @@ def main() -> None:
     write_ini(s_ini, proc, s_dir, base_width=16, epochs=args.epochs,
               batch_size=args.batch_size)
     run([py, "-m", "pcss_unet_tpu.cli.train", "--config", s_ini,
-         "--no_resume"])
+         "--no_resume", "--allow_random_vgg"])
     rows.append({"model": "student_w16_scratch", "psnr_db":
                  round(eval_psnr(latest_ckpt(s_dir), 16, proc, data), 2)})
     print(json.dumps(rows[-1]), flush=True)
@@ -149,7 +149,7 @@ def main() -> None:
                      "distill_teacher_width": 64,
                      "distill_weight": args.distill_weight})
     run([py, "-m", "pcss_unet_tpu.cli.train", "--config", d_ini,
-         "--no_resume"])
+         "--no_resume", "--allow_random_vgg"])
     rows.append({"model": "student_w16_distilled", "psnr_db":
                  round(eval_psnr(latest_ckpt(d_dir), 16, proc, data), 2)})
     print(json.dumps(rows[-1]), flush=True)

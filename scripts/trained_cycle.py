@@ -64,7 +64,8 @@ def main() -> None:
     run([py, "-m", "pcss_unet_tpu.cli.train", "--config", "config.ini",
          "--processed_data_dir", proc, "--save_dir", ckpt,
          "--batch_size", str(args.batch_size),
-         "--num_epochs", str(args.epochs), "--no_resume"])
+         "--num_epochs", str(args.epochs), "--no_resume",
+         "--allow_random_vgg"])
 
     # newest checkpoint step dir
     steps = sorted(int(d) for d in os.listdir(ckpt) if d.isdigit())

@@ -1,0 +1,76 @@
+"""Channels-major end-to-end engine (infer/chw_engine.py) ≡ the NHWC model.
+
+The engine re-plumbs the whole forward in the fused kernels' native padded
+channels-major layout; these tests pin it, stage for stage, against the
+plain XLA UNet on the SAME folded-BN param tree at float32 (kernels in
+interpreter mode on CPU), at the tolerances the per-kernel tests use."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcss_unet_tpu.infer.chw_engine import chw_forward
+from pcss_unet_tpu.models import UNet
+from pcss_unet_tpu.models.fold_bn import fold_batchnorm
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def _folded(widths, seed=1):
+    model = UNet(encoder_widths=widths, dtype=jnp.float32, dropout_rate=0.0)
+    key = jax.random.PRNGKey(seed)
+    variables = model.init({"params": key, "dropout": key},
+                           jnp.zeros((1, 64, 64, 4)), True)
+    folded = fold_batchnorm(dict(variables))
+    plain = model.clone(normalization="none")
+    return plain, {"params": folded["params"],
+                   "batch_stats": folded["batch_stats"]}
+
+
+@pytest.mark.parametrize("widths,h,w", [
+    ((16, 32), 48, 64),                 # all-chw-fusable net
+    ((16, 32, 128, 256), 64, 160),      # trimmed-w16 structure: chw + 128
+                                        # + wide NHWC interlude stages
+])
+def test_chw_forward_matches_plain(rng, widths, h, w):
+    plain, variables = _folded(widths)
+    x = jnp.asarray(rng.standard_normal((1, h, w, 4)).astype(np.float32))
+    ref = np.asarray(plain.apply(variables, x, False))
+    got = np.asarray(chw_forward(variables, x, dtype=jnp.float32,
+                                 interpret=True))
+    assert got.shape == ref.shape and got.dtype == ref.dtype
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_chw_forward_128_routing_equivalent(rng):
+    """cin=128 blocks match whether they stay channels-major or take the
+    NHWC-native 128-kernel interlude."""
+    plain, variables = _folded((16, 32, 128), seed=3)
+    x = jnp.asarray(rng.standard_normal((2, 32, 64, 4)).astype(np.float32))
+    ref = np.asarray(plain.apply(variables, x, False))
+    for use128 in (True, False):
+        got = np.asarray(chw_forward(variables, x, dtype=jnp.float32,
+                                     use128_chw=use128, interpret=True))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_chw_forward_batch_and_taps(rng):
+    plain, variables = _folded((16, 32), seed=5)
+    x = jnp.asarray(rng.standard_normal((3, 32, 48, 4)).astype(np.float32))
+    ref = np.asarray(plain.apply(variables, x, False))
+    for taps in ("stack", "acc_shift", "loop"):
+        got = np.asarray(chw_forward(variables, x, dtype=jnp.float32,
+                                     taps=taps, interpret=True))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"taps={taps}")
+
+
+def test_chw_forward_alignment_guard(rng):
+    _, variables = _folded((16, 32))
+    x = jnp.zeros((1, 30, 64, 4), jnp.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        chw_forward(variables, x, dtype=jnp.float32, interpret=True)

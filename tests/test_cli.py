@@ -85,8 +85,12 @@ def test_cli_full_chain(workdir, capsys):
                         "--report", f"{root}/pack_report.json"])
     assert e.value.code == 0
     assert json.load(open(f"{root}/pack_report.json"))
+    # without the ImageNet VGG artifact a perceptual-blend loss must be an
+    # explicit decision, not a buried warning (VERDICT r3 next-#7)
+    with pytest.raises(SystemExit, match="allow_random_vgg"):
+        cli_train.main(["--config", f"{root}/tiny.ini"])
     # train 2 epochs
-    cli_train.main(["--config", f"{root}/tiny.ini"])
+    cli_train.main(["--config", f"{root}/tiny.ini", "--allow_random_vgg"])
     ckpts = os.listdir(f"{root}/ckpt")
     assert any(c.isdigit() for c in ckpts), ckpts
     best = sorted(int(c) for c in ckpts if c.isdigit())[-1]
