@@ -21,7 +21,7 @@ import logging
 import queue
 import threading
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Callable, Iterable
 
 import numpy as np
@@ -35,10 +35,32 @@ class ServerStats:
     decode_seconds: float = 0.0
     compute_seconds: float = 0.0
     wall_seconds: float = 0.0
+    # per-frame latency, decode-start → mask delivered to the sink — the
+    # metric a renderer loop actually feels (tail, not just throughput)
+    latencies: list = field(default_factory=list)
 
     @property
     def fps(self) -> float:
         return self.frames / self.wall_seconds if self.wall_seconds else 0.0
+
+    def latency_ms(self, pct: float) -> float:
+        """Percentile (0-100) of per-frame latency in milliseconds."""
+        if not self.latencies:
+            return 0.0
+        return float(np.percentile(np.asarray(self.latencies), pct) * 1e3)
+
+    @property
+    def p50_ms(self) -> float:
+        return self.latency_ms(50)
+
+    @property
+    def p99_ms(self) -> float:
+        return self.latency_ms(99)
+
+    # host time blocked waiting on device results in drain(); wall −
+    # sync − dispatch ≈ time the host spent feeding/decoding while the
+    # device worked (the overlap the pipeline exists to create)
+    sync_seconds: float = 0.0
 
 
 class ShadowServer:
@@ -83,10 +105,10 @@ class ShadowServer:
                     t0 = time.perf_counter()
                     frame = read_exr_stack(p)
                     spent += time.perf_counter() - t0
-                    decoded.put((i, p, frame))
+                    decoded.put((i, p, frame, t0))
                 except Exception as e:  # noqa: BLE001 - skip policy
                     logging.warning("serve: skipping %s: %s", p, e)
-                    decoded.put((i, p, None))
+                    decoded.put((i, p, None, 0.0))
 
         workers = [threading.Thread(target=decoder, daemon=True)
                    for _ in range(min(self.decode_workers, max(1, len(paths))))]
@@ -99,8 +121,8 @@ class ShadowServer:
         def flush_batch():
             if not pending:
                 return
-            metas = [(i, p) for i, p, _ in pending]
-            frames = np.stack([f for _, _, f in pending])
+            metas = [(i, p, t0) for i, p, _, t0 in pending]
+            frames = np.stack([f for _, _, f, _ in pending])
             padded, orig_hw = pad_to_multiple(frames, self.engine.pad_multiple)
             t0 = time.perf_counter()
             out = self.engine.render_u8(padded)  # async dispatch
@@ -114,16 +136,20 @@ class ShadowServer:
             # O(queue_depth + batches-in-flight), never O(len(paths)).
             while inflight and (block_all or len(inflight) > 2):
                 metas, out, (h, w) = inflight.pop(0)
+                t0 = time.perf_counter()
                 masks = np.asarray(out)[:, :h, :w, :]  # syncs this batch
-                for (i, p), mask in zip(metas, masks):
+                stats.sync_seconds += time.perf_counter() - t0
+                for (i, p, t_dec), mask in zip(metas, masks):
                     sink(p, mask)
                     stats.frames += 1
+                    if t_dec:
+                        stats.latencies.append(time.perf_counter() - t_dec)
 
         for _ in range(len(paths)):
-            i, p, frame = decoded.get()
+            i, p, frame, t_dec = decoded.get()
             if frame is None:
                 continue
-            pending.append((i, p, frame))
+            pending.append((i, p, frame, t_dec))
             if len(pending) >= self.batch_size:
                 flush_batch()
             drain()
@@ -133,6 +159,8 @@ class ShadowServer:
             w.join(timeout=5)
         stats.wall_seconds = time.perf_counter() - t_wall
         logging.info("served %d frames in %.2fs (%.1f fps; decode %.2fs, "
-                     "dispatch %.2fs)", stats.frames, stats.wall_seconds,
-                     stats.fps, stats.decode_seconds, stats.compute_seconds)
+                     "dispatch %.2fs, sync %.2fs, p50 %.1fms, p99 %.1fms)",
+                     stats.frames, stats.wall_seconds, stats.fps,
+                     stats.decode_seconds, stats.compute_seconds,
+                     stats.sync_seconds, stats.p50_ms, stats.p99_ms)
         return stats

@@ -47,6 +47,12 @@ def test_server_matches_engine(frames_dir, engine):
     assert stats.frames == 7
     assert stats.fps > 0
     assert set(got) == set(paths)
+    # latency plumbing: one decode-start→sink latency per served frame,
+    # percentiles ordered and bounded by the run wall time
+    assert len(stats.latencies) == 7
+    assert 0 < stats.p50_ms <= stats.p99_ms <= stats.wall_seconds * 1e3
+    assert stats.latency_ms(0) <= stats.p50_ms
+    assert stats.sync_seconds >= 0
     for p in paths:
         ref = engine(read_exr_stack(p))
         ref_u8 = np.round(np.clip(ref, 0, 1) * 255).astype(np.uint8)
