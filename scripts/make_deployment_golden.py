@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Produce the committed DEPLOYMENT-NET golden fixture (VERDICT r3 next-#5).
+
+Runs the paper's full deployment pipeline (paper.md:143: 25 MB → 2.5 MB
+trimming) at meaningful scale on the chip: train the full-size w64 teacher
+on the hard multi-regime --variety scene, distill the trimmed w16 student
+from it, then freeze (a) the student weights in the reference's state-dict
+naming and (b) the quality the DEPLOYMENT POSTURE (fold-BN + fused/int8
+kernels) achieves: validation label-PSNR and motion-compensated temporal
+instability on a deterministic animated sequence.
+
+tests/test_deployment_golden.py regenerates the same frames and asserts the
+committed weights still reach the committed quality through the full
+fold→fuse→int8 chain — a regression gate on the deployment pipeline's END
+quality, not just its numerics.
+
+Regenerate intentionally with:
+    python scripts/make_deployment_golden.py
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+FIXTURE = os.path.join(REPO, "tests", "golden", "deploy_w16.npz")
+META = os.path.join(REPO, "tests", "golden", "deploy_w16.json")
+TEACHER_WIDTHS = (64, 128, 512, 1024)
+STUDENT_WIDTHS = (16, 32, 128, 256)
+SEED_TRAIN, SEED_VAL, SEED_SEQ = 91, 92, 93
+N_TRAIN, N_VAL, N_SEQ = 96, 8, 8
+H, W = 192, 256
+TEACHER_EPOCHS, STUDENT_EPOCHS = 60, 90
+
+if os.environ.get("PCSS_GOLDEN_SMOKE") == "1":
+    # pipeline-flow check only: tiny everything, fixture diverted to /tmp
+    N_TRAIN, N_VAL, N_SEQ, H, W = 16, 2, 3, 64, 64
+    TEACHER_EPOCHS, STUDENT_EPOCHS = 2, 2
+    FIXTURE = os.path.join(tempfile.gettempdir(), "deploy_w16_smoke.npz")
+    META = os.path.join(tempfile.gettempdir(), "deploy_w16_smoke.json")
+
+
+def make_frames(seed: int, n: int):
+    from make_synthetic_scene import render_frame_variety
+
+    rng = np.random.default_rng(seed)
+    xs, ys = [], []
+    for _ in range(n):
+        gbuf, soft = render_frame_variety(rng, H, W)
+        xs.append(gbuf)
+        ys.append(soft[..., None])
+    return np.stack(xs), np.stack(ys)
+
+
+def make_sequence(seed: int, n: int):
+    from make_synthetic_scene import render_sequence
+
+    rng = np.random.default_rng(seed)
+    seq, mv = render_sequence(rng, H, W, n)
+    return np.stack([g for g, _ in seq]), mv   # [T,H,W,4], [T-1,H,W,2]
+
+
+def _dataset(xs, ys, means, stds):
+    class ArrayDataset:
+        inputs = ((xs - means) / stds).astype(np.float32)
+        labels = ys.astype(np.float32)
+        sample_hw = (H, W)
+        split = "train"
+
+        def __len__(self):
+            return len(xs)
+
+        def gather(self, idx):
+            return self.inputs[idx], self.labels[idx]
+
+    ArrayDataset.means = means
+    ArrayDataset.stds = stds
+    return ArrayDataset()
+
+
+class NullWriter:
+    def scalar(self, *a, **k):
+        pass
+
+    def image(self, *a, **k):
+        pass
+
+    def flush(self):
+        pass
+
+
+def deployment_engine(variables, means, stds, interpret=False):
+    """The full deployment posture: BN folded, fused + int8 kernels."""
+    import jax.numpy as jnp
+
+    from pcss_unet_tpu.infer import InferenceEngine
+    from pcss_unet_tpu.models import UNet
+
+    model = UNet(encoder_widths=STUDENT_WIDTHS, dtype=jnp.bfloat16,
+                 dropout_rate=0.0)
+    return InferenceEngine(model, variables, means=means, stds=stds,
+                           dtype=jnp.bfloat16, fold_bn=True,
+                           quantize="int8", pallas_interpret=interpret)
+
+
+def eval_quality(variables, means, stds, xv, yv, seq, motion,
+                 interpret=False):
+    """(val label-PSNR dB, temporal instability of predictions, temporal
+    instability of the labels) in the deployment posture."""
+    import jax.numpy as jnp
+
+    from pcss_unet_tpu.losses.temporal import measure_temporal_instability
+
+    engine = deployment_engine(variables, means, stds, interpret)
+    psnrs = []
+    for x, y in zip(xv, yv):
+        pred = np.asarray(engine(x))[..., 0]
+        mse = float(np.mean((pred - y[..., 0]) ** 2))
+        psnrs.append(10 * np.log10(1.0 / max(mse, 1e-12)))
+    preds = np.stack([np.asarray(engine(f)) for f in seq])  # [T,1?,H,W,1]
+    if preds.ndim == 4:
+        preds = preds[:, None]
+    mv = jnp.asarray(motion[:, None]) if motion is not None else None
+    inst = float(measure_temporal_instability(jnp.asarray(preds), mv))
+    return float(np.mean(psnrs)), inst
+
+
+def main() -> None:
+    import jax
+
+    if os.environ.get("PCSS_GOLDEN_SMOKE") == "1":
+        jax.config.update("jax_platforms", "cpu")   # flow check off-chip
+    import jax.numpy as jnp
+
+    from pcss_unet_tpu.config import Config
+    from pcss_unet_tpu.data.pipeline import Loader
+    from pcss_unet_tpu.models import UNet
+    from pcss_unet_tpu.train.checkpoint import export_reference_checkpoint
+    from pcss_unet_tpu.train.loop import fit
+
+    xt, yt = make_frames(SEED_TRAIN, N_TRAIN)
+    xv, yv = make_frames(SEED_VAL, N_VAL)
+    seq, motion = make_sequence(SEED_SEQ, N_SEQ)
+    means = xt.mean(axis=(0, 1, 2)).astype(np.float32)
+    stds = (xt.std(axis=(0, 1, 2)) + 1e-8).astype(np.float32)
+
+    work = tempfile.mkdtemp(prefix="deploy_golden_")
+    try:
+        # --- teacher (full-size reference net) ---
+        t_dir = os.path.join(work, "teacher")
+        t_cfg = Config(batch_size=8, num_epochs=TEACHER_EPOCHS,
+                       warmup_epochs=5, learning_rate=7e-4, alpha=1.0,
+                       save_dir=t_dir, log_dir="", save_frequency=10 ** 6)
+        teacher = UNet(encoder_widths=TEACHER_WIDTHS, dtype=jnp.bfloat16)
+        loader = Loader(_dataset(xt, yt, means, stds), batch_size=8,
+                        shuffle=True, seed=0)
+        fit(t_cfg, teacher, loader, None, writer=NullWriter(),
+            checkpoint_dir=t_dir, install_preemption_handler=False)
+        steps = sorted(int(d) for d in os.listdir(t_dir) if d.isdigit())
+        t_ckpt = os.path.join(t_dir, str(steps[-1]))
+        print(f"teacher done: {t_ckpt}", flush=True)
+
+        # --- distilled trimmed student (the deployment net) ---
+        s_cfg = Config(batch_size=8, num_epochs=STUDENT_EPOCHS,
+                       warmup_epochs=5, learning_rate=7e-4, alpha=1.0,
+                       base_width=16, distill_teacher=t_ckpt,
+                       distill_teacher_width=64, distill_weight=1.0,
+                       save_dir="", log_dir="")
+        student = UNet(encoder_widths=STUDENT_WIDTHS, dtype=jnp.bfloat16)
+        loader = Loader(_dataset(xt, yt, means, stds), batch_size=8,
+                        shuffle=True, seed=1)
+        result = fit(s_cfg, student, loader, None, writer=NullWriter(),
+                     checkpoint_dir=None, install_preemption_handler=False)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    state = result.state
+    export_reference_checkpoint(state, FIXTURE)
+    variables = {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)}
+    psnr, inst = eval_quality(variables, means, stds, xv, yv, seq, motion)
+    meta = {"teacher_widths": list(TEACHER_WIDTHS),
+            "student_widths": list(STUDENT_WIDTHS),
+            "val_psnr_db": round(psnr, 3),
+            "temporal_instability": round(inst, 6),
+            "means": means.tolist(), "stds": stds.tolist(),
+            "teacher_epochs": TEACHER_EPOCHS,
+            "student_epochs": STUDENT_EPOCHS,
+            "seed_train": SEED_TRAIN, "seed_val": SEED_VAL,
+            "seed_seq": SEED_SEQ, "n_train": N_TRAIN, "n_val": N_VAL,
+            "n_seq": N_SEQ, "h": H, "w": W}
+    with open(META, "w") as f:
+        json.dump(meta, f, indent=1)
+    print(json.dumps(meta))
+
+
+if __name__ == "__main__":
+    main()
