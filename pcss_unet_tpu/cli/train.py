@@ -145,7 +145,12 @@ def main(argv=None) -> None:
 
     if cfg.grad_accum_steps == 0:
         # auto: smallest microbatch split whose PER-CHIP activations fit
-        # HBM (under data parallelism each chip sees batch/dp samples)
+        # HBM (under data parallelism each chip sees batch/dp samples).
+        # The calibrated analytic model gives the starting candidate; with
+        # governor=xla the authoritative check is the compiler's own
+        # static memory plan for the real train step (train/governor.py —
+        # the analytic flat-factor model underestimated ~9× at 2K and
+        # OOM'd on real hardware, logs/bench_train_r4.jsonl).
         import jax
 
         from pcss_unet_tpu.utils.memory import check_memory, find_accum_steps
@@ -154,6 +159,20 @@ def main(argv=None) -> None:
               else max(1, jax.device_count()))
         per_chip = max(1, cfg.batch_size // dp)
         a = find_accum_steps(n, per_chip, h, w, cfg.optimizer_type)
+        picked_by = "analytic"
+        if cfg.governor == "xla":
+            from pcss_unet_tpu.data.device_cache import (cache_eligible,
+                                                         dataset_nbytes)
+            from pcss_unet_tpu.train.governor import \
+                find_accum_steps_compiled
+
+            reserve = (dataset_nbytes(train_ds)
+                       if cache_eligible(cfg, train_ds) else 0)
+            a_xla = find_accum_steps_compiled(
+                cfg, model, train_ds.means, train_ds.stds, per_chip, h, w,
+                reserve_bytes=reserve, start=a)
+            if a_xla is not None:
+                a, picked_by = a_xla, "xla plan"
         if a == per_chip and not check_memory(n, 1, h, w,
                                               cfg.optimizer_type):
             logging.warning("even microbatch 1 exceeds the HBM estimate; "
@@ -161,7 +180,8 @@ def main(argv=None) -> None:
                             "letting XLA decide", a)
         cfg = cfg.replace(grad_accum_steps=a)
         logging.info("auto-selected grad_accum_steps=%d (per-chip "
-                     "microbatch %d over dp=%d)", a, per_chip // a, dp)
+                     "microbatch %d over dp=%d, %s)", a, per_chip // a, dp,
+                     picked_by)
 
     from pcss_unet_tpu.models.vgg import vgg_weights_provenance
     from pcss_unet_tpu.train.checkpoint import check_resume_compat

@@ -126,6 +126,14 @@ class Config:
     # (reference behavior).
     ema_decay: float = 0.0
 
+    # Memory-governor oracle for the auto modes (batch_size=0 /
+    # grad_accum_steps=0).  'xla': compile-probe the real train step and
+    # read the compiler's static memory plan (train/governor.py) — ground
+    # truth, costs one or two extra compiles at startup whose executables
+    # the jit cache then reuses.  'analytic': the calibrated closed-form
+    # estimate only (utils/memory.py) — instant, conservative.
+    governor: str = "xla"                   # xla | analytic
+
     # Device-resident dataset cache: upload the packed dataset to HBM once
     # and gather/crop batches on device, eliminating per-step host→device
     # transfers (the dominant step cost when the host link is slow).  The

@@ -27,15 +27,30 @@ def estimate_memory_usage(n_params: int, batch_size: int, height: int,
                           width: int, in_ch: int = 4,
                           optimizer: str = "adamw",
                           compute_bytes: int = 2,
-                          activation_factor: float = 18.0,
+                          activation_factor: float | None = None,
                           overhead_bytes: int = 512 * 1024 ** 2) -> dict:
     """Analytic bytes estimate (structure mirrors main.py:697-712: params,
-    gradients, optimizer state, activation factor, fixed overhead)."""
+    gradients, optimizer state, activation factor, fixed overhead).
+
+    Calibration (round 4): the reference's flat ``18x input`` activation
+    model underestimated XLA's real static plans by ~7-20x — measured
+    against compiled-step ``memory_analysis()`` on the chip
+    (logs/bench_train_r4.jsonl): 256²b8 → 130x, 1080p b1 → 167x, 2K
+    microbatch-2 → ~350x.  The default factor is now shape-aware and
+    deliberately CONSERVATIVE (over-estimates the small shapes) —
+    ``170 + 45·(pixels·batch / 1M)`` covers all three calibration points
+    from above.  This model remains only the fast pre-screen; the
+    authoritative check is the XLA compile-probe (train/governor.py),
+    which reads the compiler's own plan for the real step.
+    """
     param_bytes = n_params * 4                      # fp32 master params
     grad_bytes = n_params * 4
     opt_slots = {"adam": 2, "adamw": 2, "sgd": 1}.get(optimizer, 2)
     opt_bytes = n_params * 4 * opt_slots
     input_bytes = batch_size * height * width * in_ch * compute_bytes
+    if activation_factor is None:
+        activation_factor = 170.0 + 45.0 * (
+            batch_size * height * width / 1e6)
     activation_bytes = int(input_bytes * activation_factor)
     total = (param_bytes + grad_bytes + opt_bytes + activation_bytes
              + overhead_bytes)

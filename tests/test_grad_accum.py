@@ -110,15 +110,18 @@ def test_find_accum_steps_governor():
 
     n = 15_700_000  # reference-net parameter count
     gib = 1024 ** 3
-    a = find_accum_steps(n, 8, 1024, 2048, "adamw", hbm_bytes=2 * gib)
-    assert a > 1 and 8 % a == 0
+    # the reference's own training config (2048×1024 batch 8) on a 16 GiB
+    # chip: accum1/accum2 RESOURCE_EXHAUSTED on real hardware, accum4 ran
+    # (logs/bench_train_r4.jsonl) — the calibrated governor must agree
+    a = find_accum_steps(n, 8, 1024, 2048, "adamw", hbm_bytes=16 * gib)
+    assert a == 4, a
     est = estimate_memory_usage(n, 8 // a, 1024, 2048)
-    assert est["total"] * 1.2 <= 2 * gib
+    assert est["total"] * 1.2 <= 16 * gib
     # a smaller split must NOT have fit (minimality)
     smaller = [d for d in range(1, a) if 8 % d == 0]
     for d in smaller:
         est_d = estimate_memory_usage(n, 8 // d, 1024, 2048)
-        assert est_d["total"] * 1.2 > 2 * gib
+        assert est_d["total"] * 1.2 > 16 * gib
     # plenty of HBM → no split
     assert find_accum_steps(n, 8, 64, 64, "adamw", hbm_bytes=2 * gib) == 1
 

@@ -22,10 +22,15 @@ def test_memory_estimator_scales():
     small = estimate_memory_usage(15_700_000, 1, 256, 256)
     big = estimate_memory_usage(15_700_000, 8, 1024, 2048)
     assert big["total"] > small["total"]
-    assert big["activations"] == small["activations"] * 8 * 4 * 8
-    # 16M params / batch 8 @ 1080p must fit 16G HBM
-    assert check_memory(15_700_000, 8, 1088, 1920, hbm_bytes=16 << 30)
-    # absurd batch must not
+    # shape-aware factor: superlinear in pixels·batch (round-4 calibration
+    # against XLA static plans, logs/bench_train_r4.jsonl)
+    assert big["activations"] >= small["activations"] * 8 * 4 * 8
+    # calibration pins (measured XLA plans on the chip): 1080p batch 1
+    # fits 16G comfortably (plan 3.12 GiB)…
+    assert check_memory(15_700_000, 1, 1088, 1920, hbm_bytes=16 << 30)
+    # …batch 8 @ 1080p does NOT (plan ~8×2.73 GiB temp) — the flat-18×
+    # model claimed it did; that claim OOM'd at 2K on real hardware
+    assert not check_memory(15_700_000, 8, 1088, 1920, hbm_bytes=16 << 30)
     assert not check_memory(15_700_000, 4096, 1088, 1920,
                             hbm_bytes=16 << 30)
 
