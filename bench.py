@@ -106,10 +106,12 @@ def main() -> None:
     best_taps = "stack"
     # taps: fused-ConvBlock tap strategy (ops/pallas/convblock.py) — read
     # from the env at trace time, so set it before each jit traces.
-    # Measurement: the canonical carry-chained scan (utils/benchlib.py) —
-    # scan_len dependency-chained forwards per dispatch, chained through a
-    # tiny parameter leaf so LICM/DCE can't elide the work and the chain
-    # itself costs no frame-sized HBM pass.
+    # Measurement: the canonical input-chained scan with two-point
+    # scan-length differencing (utils/benchlib.py) — every forward depends
+    # on the previous one through the input (nothing hoists), and the
+    # fixed per-dispatch relay cost cancels in the difference.  Validated
+    # against separate block_until_ready dispatches on hardware
+    # (scripts/bench_harness_ab2.py).
     for batch, scan_len, impl, taps in (
             (1, 32, "fused_int8", "stack"), (1, 32, "fused_int8", "acc_shift"),
             (1, 32, "fused", "stack"), (1, 32, "plain", "stack"),

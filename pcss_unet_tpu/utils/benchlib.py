@@ -1,22 +1,50 @@
 """Canonical latency-measurement harness shared by every benchmark script.
 
-One methodology, one set of numbers (VERDICT r3 weak #1: two 2K harnesses
-disagreed by ~10%).  The measurement is a dependency-chained in-graph loop:
-``scan_len`` sequential forwards inside ONE dispatch, each depending on the
-previous result so XLA can neither dead-code-eliminate nor hoist the
-loop-invariant forward out of the scan.
+One methodology, one set of numbers.  Validated on hardware by
+``scripts/bench_harness_ab.py`` / ``bench_harness_ab2.py`` (w64 fused,
+1920×1088, real v5e chip), which compared four candidate methodologies:
 
-The dependency chain perturbs the SMALLEST parameter leaf by ``carry·1e-12``
-instead of the whole input frame.  The previous full-frame ``x + carry·ε``
-chain cost an extra HBM read+write pass over the frame on every iteration
-(at 2048×1024×4 fp32 that is ~32 MiB of extra traffic per forward — real
-milliseconds at 2K shapes) and was measurement-harness overhead, not model
-work.  A tiny-leaf add still defeats LICM/DCE — the forward depends on the
-carry through a parameter every iteration — at nanoscale cost.
+==================  ============================  =====================
+chain point          asymptotic ms/frame           verdict
+==================  ============================  =====================
+smallest param leaf  3.7                           INVALID — the leaf is
+                                                   the head bias, so the
+                                                   whole network upstream
+                                                   is loop-invariant and
+                                                   XLA's LICM hoists it
+                                                   out of the scan
+first conv kernel    16.0                          understates ~3 ms: the
+                                                   input frame is loop-
+                                                   invariant, so input-
+                                                   only preprocessing
+                                                   (pixel-unshuffle,
+                                                   first-block layout
+                                                   conversion) hoists
+input frame          19.3                          HONEST — matches
+                                                   separate dispatch
+separate dispatches  19.3 (asymptote)              ground truth
+==================  ============================  =====================
 
-Dispatch overhead through the remote-execution relay is fixed per call, so
-it amortizes as ``overhead / (scan_len · batch)``; the canonical settings
-(scan 32, 4 timed reps, median) keep it under ~0.1 ms/frame.
+So the canonical chain perturbs the INPUT: ``x + carry·1e-12``.  Every op
+of the forward depends on the carry, nothing frame-sized can hoist, and
+the add itself fuses into the first op's input read (the entry-leaf vs
+x-chain gap is hoisted *preprocessing*, not the add: an extra 1088×1920×4
+fp32 elementwise pass is ~67 MB of HBM traffic ≈ 0.08 ms at v5e bandwidth,
+invisible next to the 3.3 ms gap).
+
+The second validated correction: every timed dispatch carries a FIXED
+~30 ms host→relay→device round-trip/sync cost on this image (measured:
+ms/frame at scan 8/16/32/64 fits ``fixed/scan + per_iter`` with fixed
+≈ 31 ms for every methodology *including* separate dispatches, where it
+pipelines away identically).  Dividing one dispatch's wall time by
+scan_len therefore OVERSTATES per-frame latency by ``fixed/scan_len`` —
+this, not the chain, was the round-3 "9.1 vs 10.4 ms" harness
+disagreement (scan 32 vs scan 16).  The canonical measurement removes the
+fixed term exactly by two-point differencing: time the same stream at two
+scan lengths and report ``(T_hi − T_lo) / (hi − lo)``.  That is the
+sustained-throughput number a pipelined consumer sees; per-frame *tail*
+latency including dispatch sync is the serving benchmark's job
+(scripts/bench_serve.py), not this harness's.
 """
 
 from __future__ import annotations
@@ -25,14 +53,17 @@ import time
 
 import numpy as np
 
-CANON_SCAN_LEN = 32
+# hi − lo = 32 chained iterations contribute to the differenced estimate;
+# lo is long enough that per-dispatch jitter is small vs T_lo.
+CANON_SCAN_LO = 8
+CANON_SCAN_HI = 40
 CANON_REPS = 4
 
 
-def make_stream(apply_fn, params, batch_stats, scan_len=CANON_SCAN_LEN):
+def make_stream(apply_fn, params, batch_stats, scan_len):
     """Jitted ``stream(leaves, batch_stats, x) -> scalar`` running
-    ``scan_len`` carry-chained forwards; also returns the flat param leaves
-    to pass as the first argument.
+    ``scan_len`` input-chained forwards; also returns the flat param
+    leaves to pass as the first argument.
 
     ``apply_fn(variables, x)`` must run one forward and return the output
     array (e.g. ``lambda v, x: model.apply(v, x, False)``).
@@ -41,18 +72,14 @@ def make_stream(apply_fn, params, batch_stats, scan_len=CANON_SCAN_LEN):
     import jax.numpy as jnp
 
     leaves, treedef = jax.tree_util.tree_flatten(params)
-    # smallest leaf = cheapest per-iteration add; with folded inference
-    # params every leaf (conv kernel/bias/scale) feeds the output, so the
-    # chain is a true data dependency
-    idx = min(range(len(leaves)), key=lambda i: int(np.prod(leaves[i].shape)))
 
     @jax.jit
     def stream(p_leaves, s, x):
+        p = jax.tree_util.tree_unflatten(treedef, p_leaves)
+
         def body(carry, _):
-            lv = list(p_leaves)
-            lv[idx] = lv[idx] + carry.astype(lv[idx].dtype) * 1e-12
-            p = jax.tree_util.tree_unflatten(treedef, lv)
-            out = apply_fn({"params": p, "batch_stats": s}, x)
+            out = apply_fn({"params": p, "batch_stats": s},
+                           x + carry.astype(x.dtype) * 1e-12)
             return jnp.mean(out.astype(jnp.float32)), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=scan_len)
@@ -61,20 +88,46 @@ def make_stream(apply_fn, params, batch_stats, scan_len=CANON_SCAN_LEN):
     return stream, leaves
 
 
-def measure_ms_per_frame(apply_fn, params, batch_stats, x,
-                         scan_len=CANON_SCAN_LEN, reps=CANON_REPS):
-    """Median ms per frame over ``reps`` timed dispatches of the canonical
-    carry-chained scan.  ``x`` is the (already device-resident or host)
-    input batch; the per-frame figure divides by ``batch · scan_len``."""
-    stream, leaves = make_stream(apply_fn, params, batch_stats, scan_len)
+def _best_dispatch_s(stream, leaves, batch_stats, x, reps):
+    """Fastest observed dispatch wall time.  Min (not median) because the
+    estimate of interest is a *difference* of two dispatch times: the min
+    is the least-interference observation of each, so the difference is
+    far more stable than with medians when per-dispatch jitter is
+    comparable to the per-iteration work."""
     float(stream(leaves, batch_stats, x))  # compile + warm
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         float(stream(leaves, batch_stats, x))
         times.append(time.perf_counter() - t0)
+    return float(np.min(times))
+
+
+def measure_ms_per_frame(apply_fn, params, batch_stats, x,
+                         scan_len=None, reps=CANON_REPS):
+    """Median sustained ms per frame via two-point scan differencing.
+
+    ``scan_len`` (when given) is the DIFFERENCE hi−lo — the number of
+    chained iterations that contribute to the estimate — so smoke callers
+    can pass a tiny value; lo scales as ``max(2, scan_len//4)``.
+    """
+    if scan_len is None:
+        lo, hi = CANON_SCAN_LO, CANON_SCAN_HI
+    else:
+        lo = max(2, scan_len // 4)
+        hi = lo + max(1, scan_len)
+    stream_lo, leaves = make_stream(apply_fn, params, batch_stats, lo)
+    stream_hi, _ = make_stream(apply_fn, params, batch_stats, hi)
+    t_lo = _best_dispatch_s(stream_lo, leaves, batch_stats, x, reps)
+    t_hi = _best_dispatch_s(stream_hi, leaves, batch_stats, x, reps)
     batch = int(x.shape[0])
-    return float(np.median(times)) / (scan_len * batch) * 1000.0
+    diff = t_hi - t_lo
+    if diff <= 0.05 * t_hi:
+        # difference below dispatch noise (tiny smoke shapes): fall back
+        # to the single-dispatch estimate, which overstates by
+        # fixed/scan_len but is finite and sane
+        return t_hi / hi / batch * 1000.0
+    return diff / (hi - lo) / batch * 1000.0
 
 
 def forward_flops(apply_fn, params, batch_stats, x):
