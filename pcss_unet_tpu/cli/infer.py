@@ -39,6 +39,10 @@ def main(argv=None) -> None:
     p.add_argument("--quantize", choices=["none", "int8"], default="none",
                    help="int8: dynamic-int8 convs for the MXU-bound "
                         "stages (requires --fold_bn; docs/BENCHMARKS.md)")
+    p.add_argument("--layout", choices=["nhwc", "chw"], default="nhwc",
+                   help="chw: channels-major end-to-end forward — the "
+                        "fastest measured deployment posture at 1080p/2K "
+                        "(requires --fold_bn and a TPU; docs/BENCHMARKS.md)")
     p.add_argument("--ema", action="store_true",
                    help="deploy the EMA parameters (checkpoints from "
                         "ema_decay > 0 runs carry them alongside the raw "
@@ -70,7 +74,8 @@ def main(argv=None) -> None:
     engine = InferenceEngine(model, variables, means=means, stds=stds,
                              dtype=jnp.dtype(args.dtype),
                              pad_multiple=cfg.pad_multiple,
-                             fold_bn=args.fold_bn, quantize=args.quantize)
+                             fold_bn=args.fold_bn, quantize=args.quantize,
+                             layout=args.layout)
 
     frame = read_exr_stack(args.input)
     t0 = time.perf_counter()

@@ -114,13 +114,34 @@ class InferenceEngine:
     def __init__(self, model, variables: dict, *, means=None, stds=None,
                  dtype=jnp.bfloat16, pad_multiple: int = 16,
                  use_pallas: bool | None = None, fold_bn: bool = False,
-                 pallas_interpret: bool = False, quantize: str = "none"):
+                 pallas_interpret: bool = False, quantize: str = "none",
+                 layout: str = "nhwc", taps: str = "stack"):
         if use_pallas is None:
             from pcss_unet_tpu.ops.pallas import pallas_available
 
             use_pallas = pallas_available()
         if quantize not in ("none", "int8"):
             raise ValueError(f"unknown quantize mode: {quantize}")
+        if layout not in ("nhwc", "chw"):
+            raise ValueError(f"unknown layout: {layout}")
+        if layout == "chw":
+            # channels-major end-to-end forward (infer/chw_engine.py): the
+            # measured-fastest deployment posture at 2K/1080p for the
+            # trimmed net (docs/BENCHMARKS.md).  Needs folded-BN params
+            # (fold_bn=True here, or a model already built without BN) and
+            # the Pallas kernels (or interpret mode for CPU testing).
+            if not (fold_bn
+                    or getattr(model, "normalization", None) == "none"):
+                raise ValueError("layout='chw' requires fold_bn=True or an "
+                                 "already-folded (normalization='none') "
+                                 "model")
+            if not (use_pallas or pallas_interpret):
+                raise ValueError("layout='chw' requires the Pallas kernels "
+                                 "(TPU) or pallas_interpret=True")
+        self.layout = layout
+        self.taps = taps
+        self._dtype = dtype
+        self._interpret = pallas_interpret
         clone_kw: dict = {"dtype": dtype}
         if fold_bn:
             if getattr(model, "normalization", None) != "batch_norm":
@@ -140,7 +161,8 @@ class InferenceEngine:
             # int8 MXU; ~1 dB-class quality cost, measured in BENCHMARKS.
             if quantize == "int8":
                 clone_kw["int8_inference"] = True
-        elif quantize == "int8":
+        elif quantize == "int8" and layout != "chw":
+            # (layout='chw' handles int8 itself on already-folded params)
             raise ValueError("quantize='int8' requires fold_bn=True "
                              "(the int8 path runs on folded-BN blocks)")
         plain_kw = {k: v for k, v in clone_kw.items()
@@ -174,6 +196,14 @@ class InferenceEngine:
                                         variables.get("batch_stats", {}))
         self.means = None if means is None else jnp.asarray(means, jnp.float32)
         self.stds = None if stds is None else jnp.asarray(stds, jnp.float32)
+        self._quantize = quantize
+        if layout == "chw":
+            # chw_forward needs H,W divisible by 2^depth; raise the pad
+            # alignment to cover deeper-than-4 variants automatically
+            from pcss_unet_tpu.models.unet import widths_from_params
+
+            widths, _, _ = widths_from_params(variables["params"])
+            pad_multiple = max(pad_multiple, 2 ** len(widths))
         self.pad_multiple = pad_multiple
         self.use_pallas = use_pallas
         self._fwd = jax.jit(self._forward)
@@ -211,6 +241,14 @@ class InferenceEngine:
         # SPMD partitioner cannot shard them) — so the fused scrub pre-pass
         # is gated on it too, not just the model body.
         x = self._preprocess(x, fused=not plain)
+        if self.layout == "chw" and not plain:
+            from pcss_unet_tpu.infer.chw_engine import chw_forward
+
+            out = chw_forward(
+                {"params": params, "batch_stats": batch_stats}, x,
+                dtype=self._dtype, int8=self._quantize == "int8",
+                taps=self.taps, interpret=self._interpret)
+            return self._postprocess(out)
         model = self.plain_model if plain else self.model
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           x, False)

@@ -74,3 +74,45 @@ def test_chw_forward_alignment_guard(rng):
     x = jnp.zeros((1, 30, 64, 4), jnp.float32)
     with pytest.raises(ValueError, match="divisible"):
         chw_forward(variables, x, dtype=jnp.float32, interpret=True)
+
+
+def test_engine_chw_layout_matches_nhwc(rng):
+    """InferenceEngine(layout='chw') ≡ the default engine end-to-end,
+    including the scrub/standardize pre-pass and output clip."""
+    from pcss_unet_tpu.infer import InferenceEngine
+
+    model = UNet(encoder_widths=(16, 32), dtype=jnp.float32,
+                 dropout_rate=0.0)
+    key = jax.random.PRNGKey(7)
+    variables = dict(model.init({"params": key, "dropout": key},
+                                jnp.zeros((1, 64, 64, 4)), True))
+    means = rng.standard_normal(4).astype(np.float32)
+    stds = (np.abs(rng.standard_normal(4)) + 0.5).astype(np.float32)
+    kw = dict(means=means, stds=stds, dtype=jnp.float32, fold_bn=True,
+              pallas_interpret=True)
+    ref_engine = InferenceEngine(model, variables, **kw)
+    chw_engine = InferenceEngine(model, variables, layout="chw", **kw)
+    x = rng.standard_normal((1, 30, 40, 4)).astype(np.float32)
+    x[0, 3, 5, 2] = np.nan  # scrub must still apply
+    ref = ref_engine(x)
+    got = chw_engine(x)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_engine_chw_layout_guards():
+    from pcss_unet_tpu.infer import InferenceEngine
+
+    model = UNet(encoder_widths=(16, 32), dtype=jnp.float32,
+                 dropout_rate=0.0)
+    key = jax.random.PRNGKey(7)
+    variables = dict(model.init({"params": key, "dropout": key},
+                                jnp.zeros((1, 64, 64, 4)), True))
+    with pytest.raises(ValueError, match="fold_bn"):
+        InferenceEngine(model, variables, layout="chw",
+                        pallas_interpret=True)
+    with pytest.raises(ValueError, match="Pallas"):
+        InferenceEngine(model, variables, layout="chw", fold_bn=True,
+                        use_pallas=False)
+    with pytest.raises(ValueError, match="layout"):
+        InferenceEngine(model, variables, layout="nchw")
