@@ -49,14 +49,20 @@ def run_block(name: str) -> None:
     w2 = jnp.asarray(rng.standard_normal((cout, cmid)).astype(
         np.float32)) * 0.1
     b2 = jnp.zeros((cout, 1), jnp.float32)
+    # Pass weights as jit ARGUMENTS, never closures: a closed-over device
+    # array gets embedded as an MLIR constant at lower() time, which calls
+    # `array._value` — a device→host fetch through the axon tunnel that
+    # took >300 s for enc_1's 295 KB weight and looked exactly like a
+    # Mosaic compile wedge (root-caused round 4 via faulthandler: the
+    # "hang" stack was mlir.ir_constant → array._value).
     print(f"[{name}] tracing...", flush=True)
-    fn = jax.jit(lambda xx: fused_conv_block_chw(xx, w1, b1, w2, b2,
-                                                 stack_taps=True))
-    lowered = fn.lower(x)
+    fn = jax.jit(lambda xx, a1, c1, a2, c2: fused_conv_block_chw(
+        xx, a1, c1, a2, c2, stack_taps=True))
+    lowered = fn.lower(x, w1, b1, w2, b2)
     print(f"[{name}] lowered; compiling...", flush=True)
     compiled = lowered.compile()
     print(f"[{name}] compiled; running...", flush=True)
-    out = compiled(x)
+    out = compiled(x, w1, b1, w2, b2)
     out.block_until_ready()
     print(f"[{name}] OK out={out.shape}", flush=True)
 
@@ -81,14 +87,16 @@ def run_full(name: str) -> None:
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((1, h, w, 4)).astype(np.float32))
     print(f"[{name}] tracing...", flush=True)
-    fn = jax.jit(lambda xx: chw_forward(
-        {"params": v["params"], "batch_stats": v["batch_stats"]}, xx,
-        int8=int8))
-    lowered = fn.lower(x)
+    # Variables passed as a jit ARGUMENT (see run_block's note): closing
+    # over device params embeds them as constants and stalls lower() on a
+    # tunnel device→host fetch of the whole parameter set.
+    vv = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    fn = jax.jit(lambda vvv, xx: chw_forward(vvv, xx, int8=int8))
+    lowered = fn.lower(vv, x)
     print(f"[{name}] lowered; compiling...", flush=True)
     compiled = lowered.compile()
     print(f"[{name}] compiled; running...", flush=True)
-    out = compiled(x)
+    out = compiled(vv, x)
     out.block_until_ready()
     print(f"[{name}] OK out={out.shape}", flush=True)
 
