@@ -136,14 +136,16 @@ def main() -> None:
             raise RuntimeError(f"probe failed: {p.stderr.strip()[-300:]}")
         return json.loads(p.stdout.strip().splitlines()[-1])["ms_per_frame"]
 
-    # NOTE: no w64 chw candidates here — the w64 channels-major compile
-    # reproducibly wedges (>25 min even at 64×128 smoke shapes, see
-    # scripts/diag_chw_w64.py), so probing it would burn the full probe
-    # timeout every run for a posture the A/B showed ~par with fused_int8.
-    # The trimmed-2K secondary below probes w16 chw, which compiles fine.
+    # The w64 chw candidates run through the killable probe: the earlier
+    # "reproducible wedge" was root-caused (round 4) to the DIAGNOSTIC
+    # closing over device weights — lower() fetched them through the
+    # tunnel as MLIR constants (scripts/diag_chw_w64.py's note).  The
+    # production path passes params as arguments, and a genuinely sick
+    # tunnel still just costs the probe timeout, not the bench.
     for batch, scan_len, impl, taps in (
             (1, 32, "fused_int8", "stack"), (1, 32, "fused_int8", "acc_shift"),
             (1, 32, "fused", "stack"), (1, 32, "plain", "stack"),
+            (1, 0, "chw_int8", "stack"), (1, 0, "chw", "stack"),
             (2, 16, "fused_int8", "stack"), (4, 8, "fused_int8", "stack")):
         os.environ["PCSS_CONVBLOCK_TAPS"] = taps
         try:
@@ -225,6 +227,26 @@ def main() -> None:
     finally:
         os.environ.pop("PCSS_CONVBLOCK_TAPS", None)
 
+    # Trimmed-2K THROUGHPUT posture: same net, batch>1 — the renderer-loop
+    # comparison point is per-frame latency (above), but a farm/offline
+    # consumer cares about frames/sec/chip, where batching amortizes the
+    # per-dispatch fixed cost.  Reported separately; never replaces the
+    # latency key.
+    trimmed_2k_tp_ms = None
+    trimmed_2k_tp_batch = None
+    if trimmed_2k_ms is not None:
+        for t_batch in (2, 4):
+            try:
+                t_ms = probe_ms("chw", "stack", t_batch, th, tw, None,
+                                "16,32,128,256")
+            except Exception as e:  # noqa: BLE001
+                print(f"trimmed-2K batch{t_batch} failed: {e}",
+                      file=sys.stderr)
+                continue
+            if trimmed_2k_tp_ms is None or t_ms < trimmed_2k_tp_ms:
+                trimmed_2k_tp_ms = round(t_ms, 2)
+                trimmed_2k_tp_batch = t_batch
+
     result = {
         "metric": "1080p_inference_frames_per_sec_per_chip",
         "value": round(best_fps, 3),
@@ -254,6 +276,11 @@ def main() -> None:
         result["trimmed_2k_impl"] = trimmed_2k_impl
         result["trimmed_2k_vs_paper_optimized_5.8ms"] = round(
             5.8 / trimmed_2k_ms, 3)
+    if trimmed_2k_tp_ms is not None:
+        result["trimmed_2k_throughput_ms_per_frame"] = trimmed_2k_tp_ms
+        result["trimmed_2k_throughput_batch"] = trimmed_2k_tp_batch
+        result["trimmed_2k_throughput_fps"] = round(
+            1000.0 / trimmed_2k_tp_ms, 1)
     if (best_fps > 0 and "TPU" in result["device"]
             and os.environ.get("PCSS_BENCH_SMOKE") != "1"):
         # never persist smoke-shrunk frames as the last-known-good

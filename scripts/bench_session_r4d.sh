@@ -16,7 +16,10 @@ for tag in 256crop_b8_standard 2k_b8_accum1_standard 2k_b8_accum2_standard \
   echo "=== train sweep: $tag ===" >&2
   if ! timeout 1500 python scripts/bench_train.py --only "$tag" >> "$OUT" \
       2> "logs/train_${tag}_r4d.err"; then
-    echo "{\"metric\": \"train_steps_per_sec[$tag]\", \"error\": \"exit $? (see logs/train_${tag}_r4d.err)\"}" >> "$OUT"
+    rc=$?  # NOTE: under `if !` this is the negation (0); kept for the
+           # record but the .err file is the real evidence — r4e's run()
+           # captures the true code instead
+    echo "{\"metric\": \"train_steps_per_sec[$tag]\", \"error\": \"failed (see logs/train_${tag}_r4d.err)\"}" >> "$OUT"
   fi
 done
 echo "=== r4d session done ===" >&2

@@ -15,12 +15,13 @@ OUT=logs/bench_r4e.jsonl
 : > "$OUT"
 
 run() {
-  local name="$1" tmo="$2"; shift 2
+  local name="$1" tmo="$2" rc; shift 2
   echo "=== $name: $* ===" >&2
   if timeout "$tmo" "$@" >> "$OUT" 2> "logs/${name}_r4e.err"; then
     echo "=== $name ok ===" >&2
   else
-    echo "{\"item\": \"$name\", \"error\": \"exit $? (see logs/${name}_r4e.err)\"}" >> "$OUT"
+    rc=$?  # capture before anything else clobbers it (124 = timed out)
+    echo "{\"item\": \"$name\", \"error\": \"exit $rc (see logs/${name}_r4e.err)\"}" >> "$OUT"
   fi
 }
 
@@ -33,6 +34,11 @@ run probe_w64_chwint8_1080p 2400 python scripts/bench_probe.py \
   --impl chw_int8 --widths 64,128,512,1024 --height 1088 --width 1920
 run probe_w64_chw_1080p 2400 python scripts/bench_probe.py --impl chw \
   --widths 64,128,512,1024 --height 1088 --width 1920
+# headline with the round-4 candidate set (w64 chw via killable probes,
+# trimmed-2K latency + batch-2/4 throughput posture)
+export PCSS_BENCH_PROBE_TIMEOUT=900
+run bench_headline 5400 python bench.py
+unset PCSS_BENCH_PROBE_TIMEOUT
 run bench_serve 2400 python scripts/bench_serve.py
 run make_deployment_golden 7200 python scripts/make_deployment_golden.py
 echo "=== r4e session done ===" >&2
