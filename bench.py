@@ -67,6 +67,8 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from pcss_unet_tpu.utils.compilecache import enable_persistent_cache
+    enable_persistent_cache()
     from pcss_unet_tpu.infer.frame import InferenceEngine
     from pcss_unet_tpu.models import UNet
 

@@ -56,6 +56,14 @@ def main(argv=None) -> None:
     from pcss_unet_tpu.io.exr import set_decode_threads
     set_decode_threads(args.decode_threads)
 
+    import os
+    if os.environ.get("PCSS_COMPILE_CACHE", "1") != "0":
+        # 2K-scale inference graphs cost minutes to compile on tunneled
+        # TPU hosts; cache the executable across invocations.
+        from pcss_unet_tpu.utils.compilecache import enable_persistent_cache
+
+        enable_persistent_cache()
+
     import jax.numpy as jnp
 
     from pcss_unet_tpu.data.stats import load_channel_stats

@@ -8,6 +8,7 @@ the reference, the result is used)."""
 
 import argparse
 import logging
+import os
 
 from pcss_unet_tpu.config import load_config, save_config
 from pcss_unet_tpu.data.pipeline import Loader, PackedDataset
@@ -81,6 +82,14 @@ def main(argv=None) -> None:
                               "grain_workers", "allow_random_vgg")
                  and v is not None}
     cfg = load_config(args.config, overrides)
+
+    # Persistent XLA compile cache: reference-scale train steps take 20+
+    # minutes to compile on tunneled TPU hosts; a resumed/retried run
+    # must not pay that twice.  Opt out with PCSS_COMPILE_CACHE=0.
+    if os.environ.get("PCSS_COMPILE_CACHE", "1") != "0":
+        from pcss_unet_tpu.utils.compilecache import enable_persistent_cache
+
+        enable_persistent_cache()
 
     # The reference trains its perceptual term on ImageNet VGG-19 features
     # (customLoss.py:20).  Without the converted artifact this framework

@@ -48,6 +48,8 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from pcss_unet_tpu.utils.compilecache import enable_persistent_cache
+    enable_persistent_cache()
     from pcss_unet_tpu.infer.chw_engine import chw_forward
     from pcss_unet_tpu.models import UNet
     from pcss_unet_tpu.models.fold_bn import fold_batchnorm

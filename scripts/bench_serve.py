@@ -55,6 +55,8 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from pcss_unet_tpu.utils.compilecache import enable_persistent_cache
+    enable_persistent_cache()
     from pcss_unet_tpu.infer import InferenceEngine
     from pcss_unet_tpu.infer.server import ShadowServer
     from pcss_unet_tpu.io.exr import read_exr_stack

@@ -11,6 +11,11 @@
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+# Persistent compile cache: the remote AOT compiles cost 20+ min at 2K
+# shapes; cache hits make re-runs and session retries ~free.
+export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
+mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 OUT=logs/bench_r4e.jsonl
 : > "$OUT"
 

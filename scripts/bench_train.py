@@ -50,6 +50,8 @@ def bench_config(tag, batch, h, w, loss_type="standard", scan_len=8,
     import jax
     import jax.numpy as jnp
 
+    from pcss_unet_tpu.utils.compilecache import enable_persistent_cache
+    enable_persistent_cache()
     from pcss_unet_tpu.config import Config
     from pcss_unet_tpu.losses import LossBundle, PerceptualLoss
     from pcss_unet_tpu.models import UNet

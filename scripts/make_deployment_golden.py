@@ -139,6 +139,9 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")   # flow check off-chip
     import jax.numpy as jnp
 
+    from pcss_unet_tpu.utils.compilecache import enable_persistent_cache
+    enable_persistent_cache()
+
     from pcss_unet_tpu.config import Config
     from pcss_unet_tpu.data.pipeline import Loader
     from pcss_unet_tpu.models import UNet
