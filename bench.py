@@ -4,29 +4,48 @@ Flagship model (reference U-Net configuration, bf16) on 1920×1080 frames
 (padded to 1920×1088, ×16 alignment).  North star (BASELINE.json): ≥2000
 1080p frames/min on a v5e-8 ≙ 4.167 frames/sec/chip — ``vs_baseline`` is
 measured fps/chip divided by that.  Prints exactly ONE JSON line.
+
+Budget discipline (VERDICT r4 weak #1): the whole run is bounded by a
+GLOBAL wall-clock deadline (``PCSS_BENCH_DEADLINE_S``, default 1080 s)
+spent best-first — the last-known-good winner is re-measured first, then
+the roofline + trimmed-2K keys, and only the *remaining* budget goes to
+challenger probes.  Every measurement runs in a killable child process
+(scripts/bench_probe.py) with a timeout sized from the remaining budget
+(a wedged remote compile blocks in C++ where no in-process signal lands);
+the parent never initializes the device backend, so nothing in this file
+can hang.  A watchdog thread prints whatever has been measured and exits
+if the deadline is somehow overrun anyway — the driver ALWAYS gets a
+parsed JSON line.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
-
-import numpy as np
 
 BASELINE_FPS_PER_CHIP = 2000.0 / 60.0 / 8.0  # north-star per chip
 V5E_PEAK_BF16_TFLOPS = 197.0  # per-chip bf16 MXU peak (v5e); int8 is 2×
 
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+_LAST_GOOD = os.path.join(_ROOT, "logs", "bench_last_good.json")
+_PROBE = os.path.join(_ROOT, "scripts", "bench_probe.py")
 
-def _device_reachable(attempts: int = 3, timeout_s: int = 240) -> bool:
+_T_END = None  # set in main(); monotonic deadline
+
+
+def _remaining() -> float:
+    return _T_END - time.monotonic()
+
+
+def _device_reachable(attempts: int = 2, timeout_s: int = 120) -> bool:
     """Bounded probe of backend init in a subprocess.  On this image the
     TPU tunnel's PJRT client blocks *indefinitely* inside backend init when
-    the tunnel is down — an unguarded jax.devices() here would hang the
-    whole benchmark run rather than fail.  Probing in a child with a
-    timeout turns that hang into a clean, reportable failure."""
-    import subprocess
-
+    the tunnel is down — an unguarded jax.devices() would hang the whole
+    benchmark run rather than fail.  Worst case here: 2×120 s + 15 s."""
     for i in range(attempts):
         try:
             p = subprocess.run(
@@ -40,251 +59,229 @@ def _device_reachable(attempts: int = 3, timeout_s: int = 240) -> bool:
             print(f"device probe {i + 1}/{attempts} timed out "
                   f"({timeout_s}s): backend init is blocking", file=sys.stderr)
         if i < attempts - 1:  # no pointless sleep after the final failure
-            time.sleep(30)
+            time.sleep(15)
     return False
 
 
-_LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "logs", "bench_last_good.json")
+class _BudgetExhausted(Exception):
+    pass
+
+
+def probe(impl: str, taps: str, batch: int, h: int, w: int,
+          scan: int | None, widths: str, cap_s: float,
+          flops_only: bool = False) -> dict:
+    """One candidate in a killable child.  Timeout = min(cap, remaining
+    budget − 15 s margin); raises _BudgetExhausted when too little budget
+    is left to even try, so callers skip instead of overrunning."""
+    timeout_s = min(cap_s, _remaining() - 15.0)
+    if timeout_s < 30.0:
+        raise _BudgetExhausted(f"{_remaining():.0f}s left")
+    cmd = [sys.executable, _PROBE, "--impl", impl, "--taps", taps,
+           "--batch", str(batch), "--height", str(h), "--width", str(w),
+           "--scan", str(scan or 0), "--widths", widths]
+    cmd.append("--flops_only" if flops_only else "--skip_flops")
+    p = subprocess.run(cmd, capture_output=True, text=True,
+                       timeout=timeout_s)
+    if p.returncode != 0:
+        raise RuntimeError(f"probe rc={p.returncode}: "
+                           f"{p.stderr.strip()[-300:]}")
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+W64 = "64,128,512,1024"   # flagship encoder widths
+W16 = "16,32,128,256"     # trimmed (paper "optimized") net
 
 
 def main() -> None:
-    if os.environ.get("PCSS_BENCH_SMOKE") != "1" and not _device_reachable():
-        out = {
-            "metric": "1080p_inference_frames_per_sec_per_chip",
-            "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
-            "error": "accelerator unreachable: backend init failed/hung "
-                     "after bounded probes (TPU tunnel down?)",
-        }
-        try:
-            with open(_LAST_GOOD) as f:
-                # context only — NOT a fresh measurement (value stays 0.0)
-                out["last_known_good"] = json.load(f)
-        except (OSError, ValueError):
-            pass
-        print(json.dumps(out))
+    global _T_END
+    deadline_s = float(os.environ.get("PCSS_BENCH_DEADLINE_S", 1080))
+    _T_END = time.monotonic() + deadline_s
+
+    result = {
+        "metric": "1080p_inference_frames_per_sec_per_chip",
+        "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
+        "dtype": "bfloat16",
+    }
+    try:
+        with open(_LAST_GOOD) as f:
+            last_good = json.load(f)
+    except (OSError, ValueError):
+        last_good = {}
+
+    done = threading.Event()
+
+    def _watchdog() -> None:
+        # Absolute backstop: if the orchestration loop somehow overruns
+        # the deadline (it shouldn't — every child is timeout-bounded),
+        # print what we have and exit so the driver still parses a line.
+        if done.wait(timeout=deadline_s + 60.0):
+            return
+        os.write(1, (json.dumps(dict(
+            result, note="watchdog emission: deadline overrun")) +
+            "\n").encode())
+        os._exit(0 if result["value"] > 0 else 1)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    smoke = os.environ.get("PCSS_BENCH_SMOKE") == "1"
+    if not smoke and not _device_reachable():
+        result["error"] = ("accelerator unreachable: backend init "
+                           "failed/hung after bounded probes "
+                           "(TPU tunnel down?)")
+        if last_good:
+            # context only — NOT a fresh measurement (value stays 0.0)
+            result["last_known_good"] = last_good
+        done.set()
+        print(json.dumps(result))
         sys.exit(1)
-    import jax
-    import jax.numpy as jnp
-
-    from pcss_unet_tpu.utils.compilecache import enable_persistent_cache
-    enable_persistent_cache()
-    from pcss_unet_tpu.infer.frame import InferenceEngine
-    from pcss_unet_tpu.models import UNet
-
-    from pcss_unet_tpu.models.fold_bn import fold_batchnorm
-
-    model_bn = UNet(dtype=jnp.bfloat16)
-    key = jax.random.PRNGKey(0)
-    variables = model_bn.init({"params": key, "dropout": key},
-                              jnp.zeros((1, 64, 64, 4), jnp.float32), False)
-    # deployment posture: BatchNorm folded into the convs (exact at eval),
-    # small-channel blocks through the fused Pallas ConvBlock kernel
-    # (ops/pallas/convblock.py), ≥256-channel blocks through dynamic-int8
-    # convs on the int8 MXU (ops/int8.py; 71.5 dB vs the float graph) —
-    # docs/BENCHMARKS.md — with the plain XLA graph as per-config fallback.
-    folded = fold_batchnorm(dict(variables))
-    models = {"fused_int8": model_bn.clone(normalization="none",
-                                           fused_inference=True,
-                                           int8_inference=True),
-              "fused": model_bn.clone(normalization="none",
-                                      fused_inference=True),
-              "plain": model_bn.clone(normalization="none")}
-    params = folded["params"]
-    batch_stats = folded["batch_stats"]
 
     # smoke knobs (CI/CPU): shrink the frame / scan without changing the
     # measured configuration on real hardware (defaults = the real bench)
     h = int(os.environ.get("PCSS_BENCH_H", 1088))
     w = int(os.environ.get("PCSS_BENCH_W", 1920))
-    rng = np.random.default_rng(0)
+    th = int(os.environ.get("PCSS_BENCH_2K_H", 1024))
+    tw = int(os.environ.get("PCSS_BENCH_2K_W", 2048))
+    frame = f"{w}x{h}"
+    result["frame"] = frame
 
-    from pcss_unet_tpu.utils.benchlib import (forward_flops,
-                                              measure_ms_per_frame)
+    best = {"fps": 0.0}
 
-    best_fps = 0.0
-    best_batch = 1
-    best_impl = "plain"
-    best_taps = "stack"
-    # taps: fused-ConvBlock tap strategy (ops/pallas/convblock.py) — read
-    # from the env at trace time, so set it before each jit traces.
-    # Measurement: the canonical input-chained scan with two-point
-    # scan-length differencing (utils/benchlib.py) — every forward depends
-    # on the previous one through the input (nothing hoists), and the
-    # fixed per-dispatch relay cost cancels in the difference.  Validated
-    # against separate block_until_ready dispatches on hardware
-    # (scripts/bench_harness_ab2.py).
-    def apply_for(impl, taps):
-        m = models[impl]
-        return lambda v, x: m.apply(v, x, False)
+    def record_headline(r: dict, batch: int, impl: str, taps: str) -> None:
+        fps = 1000.0 / r["ms_per_frame"]
+        if fps <= best["fps"]:
+            return
+        best["fps"] = fps
+        result.update(
+            value=round(fps, 3),
+            vs_baseline=round(fps / BASELINE_FPS_PER_CHIP, 3),
+            batch=batch, impl=impl, taps=taps, device=r.get("device", ""),
+            # vs_baseline divides the v5e-8 north star by 8, i.e. assumes
+            # linear 8-chip scaling; per-frame inference is embarrassingly
+            # parallel (independent frames per chip, no collectives).
+            note="per-chip rate; 8-chip north star assumed linear "
+                 "(independent frames)")
+        if result.get("flops_per_frame"):
+            _set_mfu()
 
-    def probe_ms(impl, taps, batch, th, tw, scan_len, widths):
-        """Measure a chw candidate in a killable child (scripts/
-        bench_probe.py): a wedged remote Mosaic compile blocks in C++
-        where no in-process exception or signal can land — observed on
-        hardware (w64 chw compile hung >60 min on a sick tunnel).  A
-        timeout here skips the candidate instead of hanging the bench."""
-        import subprocess
-        timeout_s = int(os.environ.get("PCSS_BENCH_PROBE_TIMEOUT", 1500))
-        script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "scripts", "bench_probe.py")
-        p = subprocess.run(
-            [sys.executable, script, "--impl", impl, "--taps", taps,
-             "--batch", str(batch), "--height", str(th), "--width", str(tw),
-             "--scan", str(scan_len or 0), "--widths", widths,
-             "--skip_flops"],
-            capture_output=True, text=True, timeout=timeout_s)
-        if p.returncode != 0:
-            raise RuntimeError(f"probe failed: {p.stderr.strip()[-300:]}")
-        return json.loads(p.stdout.strip().splitlines()[-1])["ms_per_frame"]
-
-    # The w64 chw candidates run through the killable probe: the earlier
-    # "reproducible wedge" was root-caused (round 4) to the DIAGNOSTIC
-    # closing over device weights — lower() fetched them through the
-    # tunnel as MLIR constants (scripts/diag_chw_w64.py's note).  The
-    # production path passes params as arguments, and a genuinely sick
-    # tunnel still just costs the probe timeout, not the bench.
-    for batch, scan_len, impl, taps in (
-            (1, 32, "fused_int8", "stack"), (1, 32, "fused_int8", "acc_shift"),
-            (1, 32, "fused", "stack"), (1, 32, "plain", "stack"),
-            (1, 0, "chw_int8", "stack"), (1, 0, "chw", "stack"),
-            (2, 16, "fused_int8", "stack"), (4, 8, "fused_int8", "stack")):
-        os.environ["PCSS_CONVBLOCK_TAPS"] = taps
-        try:
-            if impl.startswith("chw"):
-                ms = probe_ms(impl, taps, batch, h, w, scan_len,
-                              "64,128,512,1024")
-            else:
-                frames = jnp.asarray(
-                    rng.standard_normal((batch, h, w, 4)).astype(np.float32))
-                ms = measure_ms_per_frame(
-                    apply_for(impl, taps),
-                    params, batch_stats, frames, scan_len=scan_len)
-            fps = 1000.0 / ms
-            if fps > best_fps:
-                best_fps, best_batch, best_impl, best_taps = (
-                    fps, batch, impl, taps)
-        except Exception as e:  # noqa: BLE001 - e.g. HBM/VMEM exhausted,
-            # probe timeout/crash (subprocess.TimeoutExpired is an Exception)
-            print(f"batch {batch} ({impl},{taps}) failed: {e}",
-                  file=sys.stderr)
-            continue
-        finally:
-            os.environ.pop("PCSS_CONVBLOCK_TAPS", None)
-
-    # Roofline accounting (VERDICT r3 weak #3): XLA's FLOP count of one
-    # PLAIN-posture forward — posture-independent op semantics, the same
-    # convention as scripts/bench_2k.py.  (The fused Pallas stages report
-    # no flops to cost analysis, so counting the winning posture's
-    # executable would understate the model's work by ~6×.)  Implied
-    # TFLOP/s = that op count at the winning posture's measured rate.
-    flops_per_frame = None
-    try:
-        fl_frames = jnp.asarray(rng.standard_normal(
-            (best_batch, h, w, 4)).astype(np.float32))
-        total = forward_flops(apply_for("plain", "stack"),
-                              params, batch_stats, fl_frames)
-        if total:
-            flops_per_frame = total / best_batch
-    except Exception as e:  # noqa: BLE001 — roofline keys are best-effort
-        print(f"flops accounting failed: {e}", file=sys.stderr)
-
-    # Secondary: trimmed w16 net at the paper-native 2048×1024 (the
-    # BASELINE.md row-1 comparison point, paper's optimized net = 5.8 ms).
-    # Same canonical harness and settings as scripts/bench_2k.py, so the
-    # two artifacts agree by construction.  Reported as extra keys on the
-    # same JSON line; failures are dropped silently so the headline always
-    # prints.
-    trimmed_2k_ms = None
-    trimmed_2k_impl = None
-    try:
-        t_bn = UNet(encoder_widths=(16, 32, 128, 256), dtype=jnp.bfloat16)
-        t_vars = t_bn.init({"params": key, "dropout": key},
-                           jnp.zeros((1, 64, 64, 4), jnp.float32), False)
-        t_folded = fold_batchnorm(dict(t_vars))
-        t_model = t_bn.clone(normalization="none", fused_inference=True,
-                             int8_inference=True)
-        th = int(os.environ.get("PCSS_BENCH_2K_H", 1024))
-        tw = int(os.environ.get("PCSS_BENCH_2K_W", 2048))
-        os.environ["PCSS_CONVBLOCK_TAPS"] = "stack"
-        t_frames = jnp.asarray(
-            rng.standard_normal((1, th, tw, 4)).astype(np.float32))
-        for t_impl in ("chw", "fused_int8"):
-            try:
-                if t_impl == "chw":
-                    t_ms = probe_ms("chw", "stack", 1, th, tw, None,
-                                    "16,32,128,256")
-                else:
-                    t_ms = measure_ms_per_frame(
-                        lambda v, x: t_model.apply(v, x, False),
-                        t_folded["params"], t_folded["batch_stats"],
-                        t_frames)
-            except Exception as e:  # noqa: BLE001
-                print(f"trimmed-2K {t_impl} failed: {e}", file=sys.stderr)
-                continue
-            if trimmed_2k_ms is None or t_ms < trimmed_2k_ms:
-                trimmed_2k_ms, trimmed_2k_impl = round(t_ms, 2), t_impl
-    except Exception as e:  # noqa: BLE001
-        print(f"trimmed-2K secondary failed: {e}", file=sys.stderr)
-    finally:
-        os.environ.pop("PCSS_CONVBLOCK_TAPS", None)
-
-    # Trimmed-2K THROUGHPUT posture: same net, batch>1 — the renderer-loop
-    # comparison point is per-frame latency (above), but a farm/offline
-    # consumer cares about frames/sec/chip, where batching amortizes the
-    # per-dispatch fixed cost.  Reported separately; never replaces the
-    # latency key.
-    trimmed_2k_tp_ms = None
-    trimmed_2k_tp_batch = None
-    if trimmed_2k_ms is not None:
-        for t_batch in (2, 4):
-            try:
-                t_ms = probe_ms("chw", "stack", t_batch, th, tw, None,
-                                "16,32,128,256")
-            except Exception as e:  # noqa: BLE001
-                print(f"trimmed-2K batch{t_batch} failed: {e}",
-                      file=sys.stderr)
-                continue
-            if trimmed_2k_tp_ms is None or t_ms < trimmed_2k_tp_ms:
-                trimmed_2k_tp_ms = round(t_ms, 2)
-                trimmed_2k_tp_batch = t_batch
-
-    result = {
-        "metric": "1080p_inference_frames_per_sec_per_chip",
-        "value": round(best_fps, 3),
-        "unit": "frames/sec",
-        "vs_baseline": round(best_fps / BASELINE_FPS_PER_CHIP, 3),
-        "batch": best_batch,
-        "impl": best_impl,
-        "taps": best_taps,
-        "device": str(jax.devices()[0]),
-        "dtype": "bfloat16",
-        "frame": f"{w}x{h}",
-        # vs_baseline divides the v5e-8 north star by 8, i.e. assumes linear
-        # 8-chip scaling; per-frame inference is embarrassingly parallel
-        # (independent frames per chip, no collectives), but the sharded
-        # single-frame path's scaling efficiency is unmeasured on real
-        # multi-chip hardware (VERDICT r1 weak #8).
-        "note": "per-chip rate; 8-chip north star assumed linear (independent frames)",
-    }
-    if flops_per_frame:
-        implied_tflops = flops_per_frame * best_fps / 1e12
-        result["flops_per_frame"] = round(flops_per_frame / 1e9, 2)  # GFLOP
-        result["implied_tflops"] = round(implied_tflops, 1)
+    def _set_mfu() -> None:
+        gflop = result["flops_per_frame"]
+        implied = gflop * best["fps"] / 1000.0  # GFLOP × fps → TFLOP/s
+        result["implied_tflops"] = round(implied, 1)
         result["pct_of_peak_bf16"] = round(
-            100.0 * implied_tflops / V5E_PEAK_BF16_TFLOPS, 1)
-    if trimmed_2k_ms is not None:
-        result["trimmed_2k_ms_per_frame"] = trimmed_2k_ms
-        result["trimmed_2k_impl"] = trimmed_2k_impl
-        result["trimmed_2k_vs_paper_optimized_5.8ms"] = round(
-            5.8 / trimmed_2k_ms, 3)
-    if trimmed_2k_tp_ms is not None:
-        result["trimmed_2k_throughput_ms_per_frame"] = trimmed_2k_tp_ms
-        result["trimmed_2k_throughput_batch"] = trimmed_2k_tp_batch
-        result["trimmed_2k_throughput_fps"] = round(
-            1000.0 / trimmed_2k_tp_ms, 1)
-    if (best_fps > 0 and "TPU" in result["device"]
-            and os.environ.get("PCSS_BENCH_SMOKE") != "1"):
+            100.0 * implied / V5E_PEAK_BF16_TFLOPS, 1)
+
+    # ---- Step 1: last-known-good winner FIRST (headline exists early) ----
+    lg_impl = last_good.get("impl", "fused_int8")
+    lg_taps = last_good.get("taps", "stack")
+    lg_batch = int(last_good.get("batch", 1))
+    lg_scan = 32 if not lg_impl.startswith("chw") else 0
+    try:
+        r = probe(lg_impl, lg_taps, lg_batch, h, w, lg_scan, W64, cap_s=480)
+        record_headline(r, lg_batch, lg_impl, lg_taps)
+    except Exception as e:  # noqa: BLE001 — fall through to challengers
+        print(f"last-good winner ({lg_impl},{lg_taps},b{lg_batch}) "
+              f"failed: {e}", file=sys.stderr)
+
+    # ---- Step 2: roofline FLOP count (MFU keys) ----
+    # XLA's FLOP count of one PLAIN-posture forward — posture-independent
+    # op semantics (fused Pallas stages report no flops, so counting the
+    # winning posture's executable would understate the model's work).
+    # The count is a static property of (model, frame shape), so reuse the
+    # last-good value when the frame matches and spend fresh budget only
+    # when it is missing.
+    if last_good.get("flops_per_frame") and last_good.get("frame") == frame:
+        result["flops_per_frame"] = last_good["flops_per_frame"]  # GFLOP
+        result["flops_source"] = "cached_last_good"
+    else:
+        try:
+            r = probe("plain", "stack", 1, h, w, None, W64, cap_s=300,
+                      flops_only=True)
+            if r.get("flops_per_frame"):
+                result["flops_per_frame"] = round(
+                    r["flops_per_frame"] / 1e9, 2)
+                result["flops_source"] = "measured"
+        except Exception as e:  # noqa: BLE001 — roofline is best-effort
+            print(f"flops accounting failed: {e}", file=sys.stderr)
+    if result.get("flops_per_frame") and best["fps"] > 0:
+        _set_mfu()
+
+    # ---- Step 3: trimmed w16 net at the paper-native 2048×1024 ----
+    # (BASELINE.md row-1 comparison point, paper's optimized net = 5.8 ms.)
+    # Last-good impl first so the key lands even if the other posture hangs.
+    t2k = {"ms": None, "impl": None}
+    t_impls = ["chw", "fused_int8"]
+    lg_t_impl = last_good.get("trimmed_2k_impl")
+    if lg_t_impl in t_impls:
+        t_impls.remove(lg_t_impl)
+        t_impls.insert(0, lg_t_impl)
+
+    def record_2k(ms: float, impl: str) -> None:
+        if t2k["ms"] is not None and ms >= t2k["ms"]:
+            return
+        t2k.update(ms=ms, impl=impl)
+        result["trimmed_2k_ms_per_frame"] = round(ms, 2)
+        result["trimmed_2k_impl"] = impl
+        result["trimmed_2k_vs_paper_optimized_5.8ms"] = round(5.8 / ms, 3)
+
+    try:
+        r = probe(t_impls[0], "stack", 1, th, tw, None, W16, cap_s=420)
+        record_2k(r["ms_per_frame"], t_impls[0])
+    except Exception as e:  # noqa: BLE001
+        print(f"trimmed-2K {t_impls[0]} failed: {e}", file=sys.stderr)
+
+    # ---- Step 4: challengers, best-first, with whatever budget is left ---
+    # (headline alternatives incl. the w64 channels-major posture — wedge
+    # root-caused round 4 to closure constants, production path passes
+    # params as arguments — then the second 2K posture and batch>1.)
+    def try_headline(impl, taps, batch, scan):
+        r = probe(impl, taps, batch, h, w, scan, W64, cap_s=540)
+        record_headline(r, batch, impl, taps)
+
+    def try_2k(impl):
+        r = probe(impl, "stack", 1, th, tw, None, W16, cap_s=420)
+        record_2k(r["ms_per_frame"], impl)
+
+    def try_2k_tp(batch):
+        # 2K THROUGHPUT posture: same net, batch>1 — a farm/offline
+        # consumer cares about frames/sec/chip, where batching amortizes
+        # the per-dispatch fixed cost.  Never replaces the latency key.
+        r = probe("chw", "stack", batch, th, tw, None, W16, cap_s=420)
+        ms = r["ms_per_frame"]
+        if (result.get("trimmed_2k_throughput_ms_per_frame") is None
+                or ms < result["trimmed_2k_throughput_ms_per_frame"]):
+            result["trimmed_2k_throughput_ms_per_frame"] = round(ms, 2)
+            result["trimmed_2k_throughput_batch"] = batch
+            result["trimmed_2k_throughput_fps"] = round(1000.0 / ms, 1)
+
+    challengers = [
+        (f"2k:{t_impls[1]}", lambda: try_2k(t_impls[1])),
+        ("hl:chw_int8", lambda: try_headline("chw_int8", "stack", 1, 0)),
+        ("hl:chw", lambda: try_headline("chw", "stack", 1, 0)),
+        ("hl:fused_int8/acc_shift",
+         lambda: try_headline("fused_int8", "acc_shift", 1, 32)),
+        ("hl:fused", lambda: try_headline("fused", "stack", 1, 32)),
+        ("hl:plain", lambda: try_headline("plain", "stack", 1, 32)),
+        ("2k_tp:b2", lambda: try_2k_tp(2)),
+        ("hl:fused_int8/b2",
+         lambda: try_headline("fused_int8", "stack", 2, 16)),
+        ("2k_tp:b4", lambda: try_2k_tp(4)),
+        ("hl:fused_int8/b4",
+         lambda: try_headline("fused_int8", "stack", 4, 8)),
+    ]
+    # don't re-measure the configuration step 1 already measured
+    lg_key = f"hl:{lg_impl}" + ("" if lg_taps == "stack" else f"/{lg_taps}")
+    for name, fn in challengers:
+        if name == lg_key and best["fps"] > 0:
+            continue
+        try:
+            fn()
+        except _BudgetExhausted as e:
+            print(f"budget exhausted before {name}: {e}", file=sys.stderr)
+            break
+        except Exception as e:  # noqa: BLE001 — probe timeout/OOM/crash
+            print(f"challenger {name} failed: {e}", file=sys.stderr)
+
+    if (best["fps"] > 0 and "TPU" in result.get("device", "") and not smoke):
         # never persist smoke-shrunk frames as the last-known-good
         try:
             os.makedirs(os.path.dirname(_LAST_GOOD), exist_ok=True)
@@ -292,7 +289,10 @@ def main() -> None:
                 json.dump(dict(result, measured_at=time.time()), f)
         except OSError:
             pass  # persistence is best-effort; the JSON line still prints
+    done.set()
     print(json.dumps(result))
+    if best["fps"] <= 0:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

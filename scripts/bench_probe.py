@@ -38,6 +38,10 @@ def main() -> None:
     ap.add_argument("--scan", type=int, default=0,
                     help="scan_len for measure_ms_per_frame (0 = canonical)")
     ap.add_argument("--skip_flops", action="store_true")
+    ap.add_argument("--flops_only", action="store_true",
+                    help="report the XLA FLOP count of one forward and "
+                         "skip the latency measurement entirely (cheap "
+                         "roofline accounting for bench.py)")
     ap.add_argument("--interpret", action="store_true",
                     help="Pallas interpret mode (CPU validation of the "
                          "chw candidates; never for real numbers)")
@@ -83,10 +87,12 @@ def main() -> None:
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(
         (args.batch, args.height, args.width, 4)).astype(np.float32))
-    ms = measure_ms_per_frame(fn, params, batch_stats, x,
-                              scan_len=args.scan or None)
+    ms = None
+    if not args.flops_only:
+        ms = measure_ms_per_frame(fn, params, batch_stats, x,
+                                  scan_len=args.scan or None)
     flops = None
-    if not args.skip_flops:
+    if args.flops_only or not args.skip_flops:
         total = forward_flops(fn, params, batch_stats, x)
         if total:
             flops = total / args.batch
