@@ -17,8 +17,11 @@ ENTIRE forward:
 - pool / upsample / head-resize / skip-adds operate on the padded
   channels-major tensor (the resize matrices are zero-padded so pad
   columns stay zero through the contraction)
-- pad columns are re-zeroed after each kernel (its SAME-padding trick
-  needs zero pads on input; one cheap masked multiply ≪ a transpose)
+- pad columns are re-zeroed inside each kernel's epilogue (the SAME-
+  padding trick needs zero pads on input; the in-register mask replaces
+  what used to be a separate full-tensor masking pass), and the decoder
+  skip-adds ride the same epilogue (``residual=`` operand) instead of
+  costing a read+read+write XLA pass per level
 - blocks with no channels-major kernel (the wide ≥128-in stages) run in a
   local NHWC interlude at the net's SMALL spatial levels, where the
   transpose pair is cheap
@@ -31,7 +34,6 @@ tests/test_chw_engine.py.  Reference semantics chain: Unetmodel.py:90-149.
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
@@ -54,18 +56,6 @@ def _pad_matrix(m: np.ndarray, rows: int, cols: int) -> np.ndarray:
     out = np.zeros((rows, cols), np.float32)
     out[:m.shape[0], :m.shape[1]] = m
     return out
-
-
-@functools.lru_cache(maxsize=64)
-def _col_mask(wp: int, w: int) -> np.ndarray:
-    m = np.zeros((1, 1, 1, wp), np.float32)
-    m[..., :w] = 1.0
-    return m
-
-
-def _mask_pad(x: jax.Array, w: int) -> jax.Array:
-    """Re-zero the pad columns (kernel outputs leak edge values into them)."""
-    return x * jnp.asarray(_col_mask(x.shape[-1], w), x.dtype)
 
 
 def _entry_chw(x: jax.Array, dtype) -> jax.Array:
@@ -124,8 +114,13 @@ def _upsample2x_chw(x: jax.Array, w: int, dtype) -> jax.Array:
     return _resize_chw(x, m_h, m_w, dtype)
 
 
-def _block_chw(x, params, w, *, taps: str, dtype, interpret: bool):
-    """Folded ConvBlock through the channels-major kernel, no wrapper."""
+def _block_chw(x, params, w, *, taps: str, dtype, interpret: bool,
+               residual=None):
+    """Folded ConvBlock through the channels-major kernel, no wrapper.
+
+    Pad-column re-zeroing and the additive skip both run in the kernel's
+    epilogue (fused_conv_block_chw ``true_w``/``residual``) — each would
+    otherwise be a separate full read+write XLA pass over the tensor."""
     ka = params["conv_a"]["kernel"].astype(dtype)      # [3,3,Cin,Cmid] HWIO
     w1 = ka.transpose(0, 1, 3, 2).reshape(9, ka.shape[3], ka.shape[2])
     w2 = params["conv_b"]["kernel"][0, 0].T.astype(dtype)
@@ -136,15 +131,18 @@ def _block_chw(x, params, w, *, taps: str, dtype, interpret: bool):
     n, cin, h, wp = x.shape
     k_rows = _pick_k_rows(cin, w1.shape[1], w2.shape[0], wp,
                           itemsize=jnp.dtype(dtype).itemsize,
-                          acc_shift=taps == "acc_shift")
+                          acc_shift=taps == "acc_shift",
+                          has_residual=residual is not None)
     while h % k_rows:
         k_rows //= 2
-    out = fused_conv_block_chw(x.astype(dtype), w1, b1, w2, b2,
-                               k_rows=k_rows, negative_slope=0.2,
-                               interpret=interpret,
-                               stack_taps=taps == "stack",
-                               acc_shift=taps == "acc_shift")
-    return _mask_pad(out, w)
+    return fused_conv_block_chw(x.astype(dtype), w1, b1, w2, b2,
+                                k_rows=k_rows, negative_slope=0.2,
+                                interpret=interpret,
+                                stack_taps=taps == "stack",
+                                acc_shift=taps == "acc_shift",
+                                true_w=w,
+                                residual=None if residual is None
+                                else residual.astype(dtype))
 
 
 def _block_nhwc_plain(x, params, dtype):
@@ -259,15 +257,17 @@ def chw_forward(variables: dict, x: jax.Array, *,
     cur_w = w // 2
     kw = dict(dtype=dtype, interpret=interpret)
 
-    def any_block(x, name, cur_w):
+    def any_block(x, name, cur_w, residual=None):
         p = params[name]
         cin = p["conv_a"]["kernel"].shape[2]
         cout = p["conv_b"]["kernel"].shape[-1]
         if _chw_fusable(cin, cout, use128_chw):
-            return _block_chw(x, p, cur_w, taps=taps, **kw)
+            return _block_chw(x, p, cur_w, taps=taps, residual=residual,
+                              **kw)
         out = _block_nhwc_dispatch(_to_nhwc(x, cur_w), p, int8=int8,
                                    taps=taps, **kw)
-        return _to_chw(out)
+        out = _to_chw(out)
+        return out if residual is None else out + residual
 
     skips = []
     for i in range(depth - 1):
@@ -280,8 +280,7 @@ def chw_forward(variables: dict, x: jax.Array, *,
     for i, (skip, skip_w) in enumerate(reversed(skips)):
         x = _upsample2x_chw(x, cur_w, dtype)
         cur_w *= 2
-        x = any_block(x, f"dec_{i}", cur_w)
-        x = x + skip
+        x = any_block(x, f"dec_{i}", cur_w, residual=skip)
 
     # head: composed up-2×-then-match-down align-corners pair
     # (Unetmodel.py:140-141; exact fold, models/unet.py fold_head_resize)

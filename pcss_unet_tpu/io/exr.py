@@ -333,11 +333,17 @@ def read_exr_stack(path: str) -> np.ndarray:
 
 
 def write_exr(path: str, channels: dict[str, np.ndarray],
-              compression: int = COMP_ZIP, pixel_type: int = PT_FLOAT,
+              compression: int | str = COMP_ZIP, pixel_type: int = PT_FLOAT,
               tile_size: tuple[int, int] | None = None) -> None:
     """Write a single-part EXR — scanline by default, ONE_LEVEL tiled when
     ``tile_size=(tile_w, tile_h)``.  Channel dict keys are sorted (EXR
-    requires an alphabetical chlist)."""
+    requires an alphabetical chlist).  ``compression`` accepts the COMP_*
+    code or the scheme name ("ZIP", "DWAA", "piz", ...)."""
+    if isinstance(compression, str):
+        try:
+            compression = getattr(exr_py, f"COMP_{compression.upper()}")
+        except AttributeError:
+            raise ValueError(f"unknown compression {compression!r}") from None
     lib = _load_native() if os.environ.get("PCSS_EXR_BACKEND") != "python" else None
     names = sorted(channels)
     if lib is not None and (tile_size is None

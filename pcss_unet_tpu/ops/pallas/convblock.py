@@ -39,10 +39,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _convblock_kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref,
-                      w2_ref, b2_ref, out_ref, *, k_rows: int, wp: int,
+def _convblock_kernel(*refs, k_rows: int, wp: int,
                       negative_slope: float, stack_taps: bool = False,
-                      acc_shift: bool = False, interpret: bool = False):
+                      acc_shift: bool = False, interpret: bool = False,
+                      has_mask: bool = False, has_residual: bool = False):
+    (prev_ref, cur_ref, next_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+     *extra) = refs[:-1]
+    out_ref = refs[-1]
+    mask_ref = extra.pop(0) if has_mask else None
+    res_ref = extra.pop(0) if has_residual else None
+
+    def _epilogue(out):
+        """Fused post-ops: residual (skip) add, then pad-column re-zero.
+        Both replace full read+write XLA passes over the tensor in the
+        channels-major engine (infer/chw_engine.py)."""
+        if res_ref is not None:
+            out = out + res_ref[0].astype(jnp.float32)
+        if mask_ref is not None:
+            # [1, Wp] {0,1} mask tiled across the band: zero the pad
+            # columns in-register so the output satisfies the kernels'
+            # zero-pad input contract with no separate masking pass
+            tiled = jnp.concatenate([mask_ref[:]] * k_rows, axis=1)
+            out = out * tiled.astype(jnp.float32)
+        return out
+
     i = pl.program_id(0)
     n = pl.num_programs(0)
     # interpret mode inlines these dots as XLA CPU ops, and the CPU
@@ -92,7 +112,7 @@ def _convblock_kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref,
             preferred_element_type=jnp.float32)
         out = out + b2_ref[:].astype(jnp.float32)
         out = jnp.where(out >= 0, out, out * negative_slope)
-        out_ref[0] = out.astype(out_ref.dtype)
+        out_ref[0] = _epilogue(out).astype(out_ref.dtype)
         return
     taps = []
     for dy in range(3):
@@ -136,23 +156,31 @@ def _convblock_kernel(prev_ref, cur_ref, next_ref, w1_ref, b1_ref,
         preferred_element_type=jnp.float32)
     out = out + b2_ref[:].astype(jnp.float32)
     out = jnp.where(out >= 0, out, out * negative_slope)
-    out_ref[0] = out.astype(out_ref.dtype)
+    out_ref[0] = _epilogue(out).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("k_rows", "negative_slope",
                                              "interpret", "stack_taps",
-                                             "acc_shift"))
+                                             "acc_shift", "true_w"))
 def fused_conv_block_chw(x: jax.Array, w1: jax.Array, b1: jax.Array,
                          w2: jax.Array, b2: jax.Array, *, k_rows: int = 16,
                          negative_slope: float = 0.2,
                          interpret: bool = False,
                          stack_taps: bool = False,
-                         acc_shift: bool = False) -> jax.Array:
+                         acc_shift: bool = False,
+                         true_w: int | None = None,
+                         residual: jax.Array | None = None) -> jax.Array:
     """x [N, Cin, H, Wp] (W already zero-padded to a multiple of 128 with at
     least one pad column; pad rows if H % k_rows) → [N, Cout, H, Wp].
 
     w1 [9, Cmid, Cin] (tap = dy·3+dx), b1 [Cmid, 1], w2 [Cout, Cmid],
     b2 [Cout, 1].
+
+    ``true_w``: when given, the kernel re-zeroes the W pad columns in its
+    epilogue (lane positions ≥ true_w), so the output directly satisfies
+    the zero-pad input contract of the next kernel — no separate masking
+    pass.  ``residual``: optional [N, Cout, H, Wp] tensor added to the
+    block output in-kernel (the U-Net's additive skip, Unetmodel.py:125).
     """
     n, cin, h, wp = x.shape
     assert wp % 128 == 0, f"Wp must be lane-aligned, got {wp}"
@@ -182,21 +210,36 @@ def fused_conv_block_chw(x: jax.Array, w1: jax.Array, b1: jax.Array,
     full = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i, b: (0,) * len(shape), memory_space=pltpu.VMEM)
 
+    operands = [x2, x2, x2, w1, b1, w2, b2]
+    in_specs = [band_spec(-1), band_spec(0), band_spec(+1),
+                full(w1_spec_shape), full((cmid, 1)),
+                full((cout, cmid)), full((cout, 1))]
+    if true_w is not None:
+        mask = np.zeros((1, wp), np.float32)
+        mask[0, :true_w] = 1.0
+        operands.append(jnp.asarray(mask, x.dtype))
+        in_specs.append(full((1, wp)))
+    if residual is not None:
+        assert residual.shape == (n, cout, h, wp), residual.shape
+        operands.append(residual.reshape(n, cout, h * wp))
+        in_specs.append(pl.BlockSpec((1, cout, k_rows * wp),
+                                     lambda i, b: (b, 0, i),
+                                     memory_space=pltpu.VMEM))
+
     out = pl.pallas_call(
         functools.partial(_convblock_kernel, k_rows=k_rows, wp=wp,
                           negative_slope=negative_slope,
                           stack_taps=stack_taps, acc_shift=acc_shift,
-                          interpret=interpret),
+                          interpret=interpret, has_mask=true_w is not None,
+                          has_residual=residual is not None),
         out_shape=jax.ShapeDtypeStruct((n, cout, h * wp), x.dtype),
         grid=grid,
-        in_specs=[band_spec(-1), band_spec(0), band_spec(+1),
-                  full(w1_spec_shape), full((cmid, 1)),
-                  full((cout, cmid)), full((cout, 1))],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, cout, k_rows * wp),
                                lambda i, b: (b, 0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x2, x2, x2, w1, b1, w2, b2)
+    )(*operands)
     return out.reshape(n, cout, h, wp)
 
 
@@ -219,7 +262,8 @@ def pack_convblock_params(params: dict, dtype=jnp.bfloat16):
 
 
 def _pick_k_rows(cin: int, cmid: int, cout: int, wp: int,
-                 itemsize: int = 2, acc_shift: bool = False) -> int:
+                 itemsize: int = 2, acc_shift: bool = False,
+                 has_residual: bool = False) -> int:
     """Largest band height whose kernel working set fits scoped VMEM.
 
     Per band: 3 row-band inputs (double-buffered by the Pallas pipeline),
@@ -235,6 +279,8 @@ def _pick_k_rows(cin: int, cmid: int, cout: int, wp: int,
         ext = cin * (k + 2) * wp * itemsize
         mid = cmid * k * wp * (n_acc * 4 + itemsize)
         out = cout * k * wp * (4 + 2 * itemsize)
+        if has_residual:  # double-buffered skip band streamed like out
+            out += cout * k * wp * 2 * itemsize
         if band + ext + mid + out <= budget:
             return k
     return 1

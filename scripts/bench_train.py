@@ -163,11 +163,19 @@ def main() -> None:
             sys.stdout.write(p.stdout)
             sys.stdout.flush()
             if p.returncode != 0:
+                # record the child's REAL exit code and the last traceback
+                # line — a failure row that says "exit 0" with no reason
+                # defeats per-item JSONL evidence (round-4 lesson)
+                tail = [ln for ln in (p.stderr or "").splitlines()
+                        if ln.strip()]
                 print(json.dumps({
                     "metric": f"train_steps_per_sec[{tag}]",
-                    "error": (p.stderr or "")[-400:]}), flush=True)
+                    "rc": p.returncode,
+                    "error": tail[-1][-400:] if tail else "no stderr",
+                    "stderr_tail": (p.stderr or "")[-400:]}), flush=True)
         except subprocess.TimeoutExpired:
             print(json.dumps({"metric": f"train_steps_per_sec[{tag}]",
+                              "rc": 124,
                               "error": "timeout (1500s)"}), flush=True)
 
 

@@ -137,6 +137,41 @@ def test_fused_convblock_batched(rng):
 
 
 @pytest.mark.parametrize("strategy", ["plain", "stack_taps", "acc_shift"])
+def test_epilogue_mask_and_residual(rng, strategy):
+    """In-kernel pad-column re-zeroing (true_w) and the fused skip-add
+    (residual) ≡ kernel → explicit mask → explicit add, on all three tap
+    strategies (the chw engine relies on both epilogue fusions)."""
+    import jax.numpy as jnp
+
+    from pcss_unet_tpu.ops.pallas.convblock import fused_conv_block_chw
+
+    cin, cmid, cout, h, w, k = 16, 16, 32, 16, 100, 8
+    wp = 128
+    params = _make_params(rng, cin, cmid, cout)
+    x = np.zeros((1, cin, h, wp), np.float32)
+    x[..., :w] = rng.standard_normal((1, cin, h, w)).astype(np.float32)
+    res = np.zeros((1, cout, h, wp), np.float32)
+    res[..., :w] = rng.standard_normal((1, cout, h, w)).astype(np.float32)
+    w1, b1, w2, b2 = pack_convblock_params(params, dtype=jnp.float32)
+    kw = dict(k_rows=k, interpret=True,
+              stack_taps=strategy == "stack_taps",
+              acc_shift=strategy == "acc_shift")
+    base = np.asarray(fused_conv_block_chw(
+        jnp.asarray(x), w1, b1, w2, b2, **kw))
+    mask = np.zeros((1, 1, 1, wp), np.float32)
+    mask[..., :w] = 1.0
+    want = base * mask + res
+    got = np.asarray(fused_conv_block_chw(
+        jnp.asarray(x), w1, b1, w2, b2, true_w=w,
+        residual=jnp.asarray(res), **kw))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    # the masked outputs really have zero pad columns
+    assert np.all(got[..., w:] == 0.0)
+    assert np.all(np.asarray(fused_conv_block_chw(
+        jnp.asarray(x), w1, b1, w2, b2, true_w=w, **kw))[..., w:] == 0.0)
+
+
+@pytest.mark.parametrize("strategy", ["plain", "stack_taps", "acc_shift"])
 @pytest.mark.parametrize("cin,cmid,cout,h,w,k", [
     (16, 16, 64, 32, 48, 8),      # enc_0 shape class
     (64, 64, 16, 24, 130, 8),     # dec_final class; W just over a lane tile

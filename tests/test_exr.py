@@ -37,6 +37,19 @@ def test_roundtrip_float(tmp_path, rng, backend, comp):
         np.testing.assert_array_equal(out[n], chans[n])
 
 
+def test_write_compression_by_name(tmp_path, rng, backend):
+    """write_exr accepts scheme names ("ZIP", "dwaa") as well as COMP_*
+    codes (scripts/bench_serve.py and CLI callers pass names)."""
+    h, w = 16, 32
+    chans = {"R": rng.standard_normal((h, w)).astype(np.float32)}
+    path = str(tmp_path / "name.exr")
+    write_exr(path, chans, compression="zip")
+    np.testing.assert_array_equal(
+        read_exr_channels(path, ["R"])["R"], chans["R"])
+    with pytest.raises(ValueError, match="unknown compression"):
+        write_exr(str(tmp_path / "bad.exr"), chans, compression="LZW")
+
+
 def test_roundtrip_half(tmp_path, rng, backend):
     h, w = 24, 32
     chans = {"R": rng.uniform(-4, 4, (h, w)).astype(np.float32),
