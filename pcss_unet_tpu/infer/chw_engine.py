@@ -138,8 +138,10 @@ def _block_chw(x, params, w, *, taps: str, dtype, interpret: bool,
     return fused_conv_block_chw(x.astype(dtype), w1, b1, w2, b2,
                                 k_rows=k_rows, negative_slope=0.2,
                                 interpret=interpret,
-                                stack_taps=taps == "stack",
+                                stack_taps=("chunk128" if taps == "chunk128"
+                                            else taps == "stack"),
                                 acc_shift=taps == "acc_shift",
+                                rowpack=taps == "rowpack",
                                 true_w=w,
                                 residual=None if residual is None
                                 else residual.astype(dtype))

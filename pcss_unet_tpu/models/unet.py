@@ -275,7 +275,8 @@ class ConvBlock(nn.Module):
             return fused_conv_block_nhwc(
                 x.astype(self.dtype), w1, b1, w2, b2,
                 negative_slope=0.2, interpret=self.pallas_interpret,
-                stack_taps=strategy == "stack",
+                stack_taps=("chunk128" if strategy == "chunk128"
+                            else strategy == "stack"),
                 acc_shift=strategy == "acc_shift")
         x = conv_a(x)
         x = self._apply_norm(self._norm("norm_a"), x, train)

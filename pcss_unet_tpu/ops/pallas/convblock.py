@@ -129,7 +129,28 @@ def _convblock_kernel(*refs, k_rows: int, wp: int,
             else:                  # out[p] needs in[p-1] → shift right
                 tap = jnp.concatenate([zcol, band[:, :-1]], axis=1)
             taps.append(tap)
-    if stack_taps:
+    if stack_taps == "chunk128":
+        # taps grouped into exact K=128 chunks (floor(128/Cin) taps per
+        # dot): if the MXU bills ceil(K/128) full streaming passes per
+        # dot, the single K=9·Cin contraction pays 2 passes at Cin=16
+        # (K=144) where 128+16 pays ~1.1 — a hardware A/B candidate for
+        # the N-stream-bound small-channel stages (scripts/bench_taps.py)
+        cin = taps[0].shape[0]
+        per = max(1, 128 // cin)
+        acc = jnp.zeros((cmid, k_rows * wp), jnp.float32)
+        col = 0
+        for t0 in range(0, 9, per):
+            group = taps[t0:t0 + per]
+            chunk = (group[0] if len(group) == 1
+                     else jnp.concatenate(group, axis=0))
+            kk = chunk.shape[0]
+            acc += jax.lax.dot_general(
+                w1_ref[:, col:col + kk].astype(compute_dt),
+                chunk.astype(compute_dt),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            col += kk
+    elif stack_taps:
         # ONE K=9·Cin MXU contraction instead of 9 K=Cin ones: stack the
         # shifted taps along sublanes against the pre-flattened w1
         # [Cmid, 9·Cin] (stacked host-side — Mosaic can't relayout the
@@ -159,9 +180,103 @@ def _convblock_kernel(*refs, k_rows: int, wp: int,
     out_ref[0] = _epilogue(out).astype(out_ref.dtype)
 
 
+def _rowpack_kernel(*refs, k_rows: int, wp: int, r_rows: int, cout: int,
+                    negative_slope: float, interpret: bool = False,
+                    has_mask: bool = False, has_residual: bool = False):
+    """M-packed variant: each MXU pass computes ``r_rows`` OUTPUT ROWS ×
+    Cmid channels at once (M = r_rows·Cmid instead of Cmid).
+
+    Why: the small-channel stages are N-stream-bound on the MXU — a
+    [Cmid≤32, K] @ [K, N] pass costs ~N·ceil(K/128) columns of streaming
+    regardless of how empty the M side of the systolic array is, and at
+    Cmid=16 the array is 12.5 % occupied.  Packing r_rows=128//Cmid
+    output rows into M cuts the streamed N by r_rows× for the same
+    MACs: the 3×3 conv becomes W1p [r·Cmid, 3·(r+2)·Cin] @ U [., Wp]
+    (block-Toeplitz weight, full im2col over the r+2-row window), and
+    the 1×1 conv a block-diagonal [r·Cout, r·Cmid] dot.
+    """
+    (prev_ref, cur_ref, next_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+     *extra) = refs[:-1]
+    out_ref = refs[-1]
+    mask_ref = extra.pop(0) if has_mask else None
+    res_ref = extra.pop(0) if has_residual else None
+
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    compute_dt = jnp.float32 if interpret else cur_ref.dtype
+    prev_last = prev_ref[0, :, (k_rows - 1) * wp:]       # [Cin, Wp]
+    next_first = next_ref[0, :, :wp]
+    prev_last = jnp.where(i == 0, jnp.zeros_like(prev_last), prev_last)
+    next_first = jnp.where(i == n - 1, jnp.zeros_like(next_first),
+                           next_first)
+    ext = jnp.concatenate([prev_last, cur_ref[0], next_first], axis=1)
+
+    chunks = []
+    for base in range(0, k_rows, r_rows):
+        # window = ext rows base..base+r+1 (r+2 rows), sublane-stacked
+        v = jnp.concatenate(
+            [ext[:, (base + j) * wp:(base + j + 1) * wp]
+             for j in range(r_rows + 2)], axis=0)       # [(r+2)·Cin, Wp]
+        zcol = jnp.zeros((v.shape[0], 1), v.dtype)
+        v_r = jnp.concatenate([zcol, v[:, :-1]], axis=1)   # dx = -1
+        v_l = jnp.concatenate([v[:, 1:], zcol], axis=1)    # dx = +1
+        u = jnp.concatenate([v_r, v, v_l], axis=0)  # dx-major, matches W1p
+        acc = jax.lax.dot_general(
+            w1_ref[:].astype(compute_dt), u.astype(compute_dt),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [r·Cmid, Wp]
+        h = acc + b1_ref[:].astype(jnp.float32)
+        h = jnp.where(h >= 0, h, h * negative_slope).astype(compute_dt)
+        o = jax.lax.dot_general(
+            w2_ref[:].astype(compute_dt), h,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [r·Cout, Wp]
+        o = o + b2_ref[:].astype(jnp.float32)
+        o = jnp.where(o >= 0, o, o * negative_slope)
+        # un-pack: [r·Cout, Wp] → [Cout, r·Wp] (row s on lanes s·Wp..)
+        chunks.append(jnp.concatenate(
+            [o[s * cout:(s + 1) * cout] for s in range(r_rows)], axis=1))
+    out = jnp.concatenate(chunks, axis=1)               # [Cout, k·Wp] fp32
+    if res_ref is not None:
+        out = out + res_ref[0].astype(jnp.float32)
+    if mask_ref is not None:
+        tiled = jnp.concatenate([mask_ref[:]] * k_rows, axis=1)
+        out = out * tiled.astype(jnp.float32)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def rowpack_r(cin: int, cmid: int, cout: int) -> int:
+    """Output rows per MXU pass: fill M=128 with r·max(Cmid, Cout)."""
+    return max(1, 128 // max(cmid, cout))
+
+
+def _pack_rowpack_weights(w1, b1, w2, b2, r_rows: int):
+    """[9,Cmid,Cin] taps → block-Toeplitz W1p [r·Cmid, 3·(r+2)·Cin]
+    (dx-major blocks, window-row minor) + block-diagonal W2p
+    [r·Cout, r·Cmid]; biases tiled per packed row group."""
+    import jax.numpy as jnp
+
+    _, cmid, cin = w1.shape
+    cout = w2.shape[0]
+    win = r_rows + 2
+    w1p = jnp.zeros((r_rows * cmid, 3 * win * cin), w1.dtype)
+    for s in range(r_rows):
+        for dy in range(3):
+            for dx in range(3):       # dx index 0,1,2 ↔ dx = -1, 0, +1
+                col = dx * win * cin + (s + dy) * cin
+                w1p = w1p.at[s * cmid:(s + 1) * cmid,
+                             col:col + cin].set(w1[dy * 3 + dx])
+    w2p = jnp.zeros((r_rows * cout, r_rows * cmid), w2.dtype)
+    for s in range(r_rows):
+        w2p = w2p.at[s * cout:(s + 1) * cout,
+                     s * cmid:(s + 1) * cmid].set(w2)
+    return (w1p, jnp.tile(b1, (r_rows, 1)), w2p, jnp.tile(b2, (r_rows, 1)))
+
+
 @functools.partial(jax.jit, static_argnames=("k_rows", "negative_slope",
                                              "interpret", "stack_taps",
-                                             "acc_shift", "true_w"))
+                                             "acc_shift", "true_w",
+                                             "rowpack"))
 def fused_conv_block_chw(x: jax.Array, w1: jax.Array, b1: jax.Array,
                          w2: jax.Array, b2: jax.Array, *, k_rows: int = 16,
                          negative_slope: float = 0.2,
@@ -169,7 +284,8 @@ def fused_conv_block_chw(x: jax.Array, w1: jax.Array, b1: jax.Array,
                          stack_taps: bool = False,
                          acc_shift: bool = False,
                          true_w: int | None = None,
-                         residual: jax.Array | None = None) -> jax.Array:
+                         residual: jax.Array | None = None,
+                         rowpack: bool = False) -> jax.Array:
     """x [N, Cin, H, Wp] (W already zero-padded to a multiple of 128 with at
     least one pad column; pad rows if H % k_rows) → [N, Cout, H, Wp].
 
@@ -190,16 +306,27 @@ def fused_conv_block_chw(x: jax.Array, w1: jax.Array, b1: jax.Array,
     bands = h // k_rows
     x2 = x.reshape(n, cin, h * wp)
     grid = (bands, n)
-    if stack_taps and acc_shift:
-        raise ValueError("stack_taps and acc_shift are exclusive tap "
-                         "strategies")
-    if stack_taps:
+    if sum(map(bool, (stack_taps, acc_shift, rowpack))) > 1:
+        raise ValueError("stack_taps / acc_shift / rowpack are exclusive "
+                         "tap strategies")
+    r_rows = 0
+    if rowpack:
+        r_rows = rowpack_r(cin, cmid, cout)
+        while k_rows % r_rows:
+            r_rows //= 2
+        w1, b1, w2, b2 = _pack_rowpack_weights(w1, b1, w2, b2, r_rows)
+        w1_spec_shape = tuple(w1.shape)
+        b_shapes = ((r_rows * cmid, 1), (r_rows * cout, r_rows * cmid),
+                    (r_rows * cout, 1))
+    elif stack_taps:
         # pre-flatten [9,Cmid,Cin] → [Cmid, 9·Cin] in XLA land; tap t's
         # block column t·Cin:(t+1)·Cin pairs with taps[t] in the kernel
         w1 = w1.transpose(1, 0, 2).reshape(cmid, 9 * cin)
         w1_spec_shape = (cmid, 9 * cin)
+        b_shapes = ((cmid, 1), (cout, cmid), (cout, 1))
     else:
         w1_spec_shape = (9, cmid, cin)
+        b_shapes = ((cmid, 1), (cout, cmid), (cout, 1))
 
     def band_spec(off):
         return pl.BlockSpec(
@@ -212,8 +339,8 @@ def fused_conv_block_chw(x: jax.Array, w1: jax.Array, b1: jax.Array,
 
     operands = [x2, x2, x2, w1, b1, w2, b2]
     in_specs = [band_spec(-1), band_spec(0), band_spec(+1),
-                full(w1_spec_shape), full((cmid, 1)),
-                full((cout, cmid)), full((cout, 1))]
+                full(w1_spec_shape), full(b_shapes[0]),
+                full(b_shapes[1]), full(b_shapes[2])]
     if true_w is not None:
         mask = np.zeros((1, wp), np.float32)
         mask[0, :true_w] = 1.0
@@ -226,12 +353,21 @@ def fused_conv_block_chw(x: jax.Array, w1: jax.Array, b1: jax.Array,
                                      lambda i, b: (b, 0, i),
                                      memory_space=pltpu.VMEM))
 
+    if rowpack:
+        kernel = functools.partial(
+            _rowpack_kernel, k_rows=k_rows, wp=wp, r_rows=r_rows,
+            cout=cout, negative_slope=negative_slope, interpret=interpret,
+            has_mask=true_w is not None,
+            has_residual=residual is not None)
+    else:
+        kernel = functools.partial(
+            _convblock_kernel, k_rows=k_rows, wp=wp,
+            negative_slope=negative_slope,
+            stack_taps=stack_taps, acc_shift=acc_shift,
+            interpret=interpret, has_mask=true_w is not None,
+            has_residual=residual is not None)
     out = pl.pallas_call(
-        functools.partial(_convblock_kernel, k_rows=k_rows, wp=wp,
-                          negative_slope=negative_slope,
-                          stack_taps=stack_taps, acc_shift=acc_shift,
-                          interpret=interpret, has_mask=true_w is not None,
-                          has_residual=residual is not None),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((n, cout, h * wp), x.dtype),
         grid=grid,
         in_specs=in_specs,
@@ -288,13 +424,14 @@ def _pick_k_rows(cin: int, cmid: int, cout: int, wp: int,
 
 @functools.partial(jax.jit, static_argnames=("k_rows", "negative_slope",
                                              "interpret", "stack_taps",
-                                             "acc_shift"))
+                                             "acc_shift", "rowpack"))
 def fused_conv_block_nhwc(x: jax.Array, w1, b1, w2, b2, *,
                           k_rows: int | None = None,
                           negative_slope: float = 0.2,
                           interpret: bool = False,
                           stack_taps: bool = False,
-                          acc_shift: bool = False) -> jax.Array:
+                          acc_shift: bool = False,
+                          rowpack: bool = False) -> jax.Array:
     """NHWC convenience wrapper: [N,H,W,Cin] → [N,H,W,Cout].  Pads W to the
     lane multiple and H to the band multiple, transposes to channels-major,
     runs the fused kernel, and transposes back (the transposes are XLA
@@ -312,5 +449,5 @@ def fused_conv_block_nhwc(x: jax.Array, w1, b1, w2, b2, *,
     out = fused_conv_block_chw(xc, w1, b1, w2, b2, k_rows=k_rows,
                                negative_slope=negative_slope,
                                interpret=interpret, stack_taps=stack_taps,
-                               acc_shift=acc_shift)
+                               acc_shift=acc_shift, rowpack=rowpack)
     return out.transpose(0, 2, 3, 1)[:, :h, :w, :]

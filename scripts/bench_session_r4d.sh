@@ -14,12 +14,15 @@ OUT=logs/bench_train_r4d.jsonl
 for tag in 256crop_b8_standard 2k_b8_accum1_standard 2k_b8_accum2_standard \
            2k_b8_accum4_standard 2k_b8_accum8_standard; do
   echo "=== train sweep: $tag ===" >&2
-  if ! timeout 1500 python scripts/bench_train.py --only "$tag" >> "$OUT" \
-      2> "logs/train_${tag}_r4d.err"; then
-    rc=$?  # NOTE: under `if !` this is the negation (0); kept for the
-           # record but the .err file is the real evidence — r4e's run()
-           # captures the true code instead
-    echo "{\"metric\": \"train_steps_per_sec[$tag]\", \"error\": \"failed (see logs/train_${tag}_r4d.err)\"}" >> "$OUT"
+  # plain `if timeout; then :; else rc=$?` — the else branch sees
+  # timeout(1)'s real status (124 = timed out); the earlier `if !` form
+  # captured the negation (always 0), which is why the committed
+  # bench_train_r4d.jsonl carries misleading '"error": "exit 0"' rows —
+  # those rows were in fact timeouts/OOMs (see the .err files)
+  if timeout 1500 python scripts/bench_train.py --only "$tag" >> "$OUT" \
+      2> "logs/train_${tag}_r4d.err"; then :; else
+    rc=$?
+    echo "{\"metric\": \"train_steps_per_sec[$tag]\", \"rc\": $rc, \"error\": \"failed rc=$rc (see logs/train_${tag}_r4d.err)\"}" >> "$OUT"
   fi
 done
 echo "=== r4d session done ===" >&2

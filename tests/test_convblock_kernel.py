@@ -171,20 +171,67 @@ def test_epilogue_mask_and_residual(rng, strategy):
         jnp.asarray(x), w1, b1, w2, b2, true_w=w, **kw))[..., w:] == 0.0)
 
 
-@pytest.mark.parametrize("strategy", ["plain", "stack_taps", "acc_shift"])
+def test_rowpack_matches_xla(rng):
+    """The M-packed (r output rows per MXU pass) kernel ≡ the XLA block,
+    including the epilogue fusions, at the w16 level-0 shape class."""
+    import jax.numpy as jnp
+
+    from pcss_unet_tpu.ops.pallas.convblock import fused_conv_block_chw
+
+    for cin, cmid, cout, h, w, k in [
+            (16, 16, 16, 32, 100, 16),   # r=8: 2 chunks per band
+            (32, 32, 16, 16, 96, 8),     # r=4
+            (16, 16, 64, 24, 48, 6),     # r=2; k not a multiple of 8
+    ]:
+        params = _make_params(rng, cin, cmid, cout)
+        x = jnp.asarray(rng.standard_normal((1, h, w, cin))
+                        .astype(np.float32))
+        ref = np.asarray(_xla_block(x, params))
+        w1, b1, w2, b2 = pack_convblock_params(params, dtype=jnp.float32)
+        got = np.asarray(fused_conv_block_nhwc(
+            x, w1, b1, w2, b2, k_rows=k, interpret=True, rowpack=True))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"cin={cin} cout={cout}")
+    # epilogue fusions under rowpack (chw entry point)
+    cin = cmid = cout = 16
+    wp, w, h, k = 128, 100, 16, 8
+    params = _make_params(rng, cin, cmid, cout)
+    xc = np.zeros((1, cin, h, wp), np.float32)
+    xc[..., :w] = rng.standard_normal((1, cin, h, w)).astype(np.float32)
+    res = np.zeros((1, cout, h, wp), np.float32)
+    res[..., :w] = rng.standard_normal((1, cout, h, w)).astype(np.float32)
+    w1, b1, w2, b2 = pack_convblock_params(params, dtype=jnp.float32)
+    base = np.asarray(fused_conv_block_chw(
+        jnp.asarray(xc), w1, b1, w2, b2, k_rows=k, interpret=True,
+        rowpack=True))
+    mask = np.zeros((1, 1, 1, wp), np.float32)
+    mask[..., :w] = 1.0
+    got = np.asarray(fused_conv_block_chw(
+        jnp.asarray(xc), w1, b1, w2, b2, k_rows=k, interpret=True,
+        rowpack=True, true_w=w, residual=jnp.asarray(res)))
+    np.testing.assert_allclose(got, (base + res) * mask,
+                               rtol=2e-4, atol=2e-4)
+    assert np.all(got[..., w:] == 0.0)
+
+
+@pytest.mark.parametrize("strategy", ["plain", "stack_taps", "chunk128",
+                                      "acc_shift"])
 @pytest.mark.parametrize("cin,cmid,cout,h,w,k", [
     (16, 16, 64, 32, 48, 8),      # enc_0 shape class
     (64, 64, 16, 24, 130, 8),     # dec_final class; W just over a lane tile
+    (32, 32, 16, 16, 96, 8),      # chunk128: 4 taps/chunk ×2 + 1 remainder
 ])
 def test_tap_strategies_match_xla(rng, strategy, cin, cmid, cout, h, w, k):
-    """All three tap strategies — per-tap dots, stacked-K contraction,
-    output-accumulator shifts — compute the same ConvBlock."""
+    """All four tap strategies — per-tap dots, stacked-K contraction,
+    K=128-chunked contraction, output-accumulator shifts — compute the
+    same ConvBlock."""
     params = _make_params(rng, cin, cmid, cout)
     x = jnp.asarray(rng.standard_normal((1, h, w, cin)).astype(np.float32))
     ref = np.asarray(_xla_block(x, params))
     w1, b1, w2, b2 = pack_convblock_params(params, dtype=jnp.float32)
     got = np.asarray(fused_conv_block_nhwc(
         x, w1, b1, w2, b2, k_rows=k, interpret=True,
-        stack_taps=strategy == "stack_taps",
+        stack_taps=("chunk128" if strategy == "chunk128"
+                    else strategy == "stack_taps"),
         acc_shift=strategy == "acc_shift"))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
