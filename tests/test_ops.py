@@ -86,6 +86,34 @@ def test_composed_resize_matches_sequential(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_banded_apply_matches_dense(rng):
+    """banded_apply ≡ the dense einsum on banded AND non-banded matrices
+    (large sizes so the banded path actually triggers; alignment variants
+    for lane/sublane/free axes)."""
+    from pcss_unet_tpu.ops.resize import banded_apply, interp_matrix
+
+    x = jnp.asarray(rng.standard_normal((1, 3, 96, 256)).astype(np.float32))
+    for m, axis, align in [
+        (interp_matrix(96, 192), 2, 8),          # 2x upsample, sublane axis
+        (interp_matrix(256, 512), 3, 128),       # lane axis, 128-aligned
+        (interp_matrix(96, 40), 2, 1),           # downsize band
+        (rng.standard_normal((64, 96)).astype(np.float32), 2, 8),  # dense →
+        # fallback path (banding saves nothing on a full matrix)
+    ]:
+        got = np.asarray(banded_apply(x, m, axis=axis, align=align))
+        eq = "oh,nchw->ncow" if axis == 2 else "ow,nchw->ncho"
+        want = np.einsum(eq, m, np.asarray(x))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    # zero-padded matrix (chw engine's lane-padded resize): pad rows/cols
+    # stay exactly zero through the banded path
+    mp = np.zeros((256, 256), np.float32)
+    mp[:192, :200] = interp_matrix(200, 192)
+    got = np.asarray(banded_apply(x, mp, axis=3, align=128))
+    assert np.all(got[..., 192:] == 0.0)
+    want = np.einsum("oi,ncai->ncao", mp, np.asarray(x))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 def test_upsample2x_matches_torch(rng):
     x = rng.standard_normal((1, 9, 13, 2)).astype(np.float32)
     ours = np.asarray(upsample2x_align_corners(jnp.asarray(x)))
