@@ -126,7 +126,11 @@ def _block_chw(x, params, w, *, taps: str, dtype, interpret: bool,
     w2 = params["conv_b"]["kernel"][0, 0].T.astype(dtype)
     b1 = params["conv_a"]["bias"].astype(jnp.float32)[:, None]
     b2 = params["conv_b"]["bias"].astype(jnp.float32)[:, None]
-    from pcss_unet_tpu.ops.pallas.convblock import _pick_k_rows
+    from pcss_unet_tpu.ops.pallas.convblock import _pick_k_rows, rowpack_r
+
+    if taps == "rowpack" and rowpack_r(ka.shape[2], ka.shape[3],
+                                       w2.shape[0]) < 2:
+        taps = "stack"   # r=1 degenerates to a per-row unrolled loop
 
     n, cin, h, wp = x.shape
     k_rows = _pick_k_rows(cin, w1.shape[1], w2.shape[0], wp,
