@@ -207,45 +207,45 @@ def main() -> None:
 
     # ---- Step 3: trimmed w16 net at the paper-native 2048×1024 ----
     # (BASELINE.md row-1 comparison point, paper's optimized net = 5.8 ms.)
-    # Last-good impl first so the key lands even if the other posture hangs.
+    # Last-good configuration first so the key lands even if a challenger
+    # posture hangs.
     t2k = {"ms": None, "impl": None}
-    t_impls = ["chw", "fused_int8"]
-    lg_t_impl = last_good.get("trimmed_2k_impl")
-    if lg_t_impl in t_impls:
-        t_impls.remove(lg_t_impl)
-        t_impls.insert(0, lg_t_impl)
+    t_first = (last_good.get("trimmed_2k_impl", "chw"),
+               last_good.get("trimmed_2k_taps", "rowpack"))
 
-    def record_2k(ms: float, impl: str) -> None:
+    def record_2k(ms: float, impl: str, taps: str) -> None:
         if t2k["ms"] is not None and ms >= t2k["ms"]:
             return
         t2k.update(ms=ms, impl=impl)
         result["trimmed_2k_ms_per_frame"] = round(ms, 2)
         result["trimmed_2k_impl"] = impl
+        result["trimmed_2k_taps"] = taps
         result["trimmed_2k_vs_paper_optimized_5.8ms"] = round(5.8 / ms, 3)
 
+    def try_2k(impl, taps="stack"):
+        r = probe(impl, taps, 1, th, tw, None, W16, cap_s=420)
+        record_2k(r["ms_per_frame"], impl, taps)
+
     try:
-        r = probe(t_impls[0], "stack", 1, th, tw, None, W16, cap_s=420)
-        record_2k(r["ms_per_frame"], t_impls[0])
+        try_2k(*t_first)
     except Exception as e:  # noqa: BLE001
-        print(f"trimmed-2K {t_impls[0]} failed: {e}", file=sys.stderr)
+        print(f"trimmed-2K {t_first} failed: {e}", file=sys.stderr)
 
     # ---- Step 4: challengers, best-first, with whatever budget is left ---
-    # (headline alternatives incl. the w64 channels-major posture — wedge
-    # root-caused round 4 to closure constants, production path passes
-    # params as arguments — then the second 2K posture and batch>1.)
+    # 2K tap-strategy challengers first (rowpack = round-5 M-packed kernel
+    # for the N-stream-bound small-channel stages), then the second 2K
+    # posture, throughput/batch postures, and last the w64 channels-major
+    # probes (measured negative in round 5 — logs/bench_r5a.jsonl — kept
+    # as cheap regression watches when budget allows).
     def try_headline(impl, taps, batch, scan):
         r = probe(impl, taps, batch, h, w, scan, W64, cap_s=540)
         record_headline(r, batch, impl, taps)
 
-    def try_2k(impl):
-        r = probe(impl, "stack", 1, th, tw, None, W16, cap_s=420)
-        record_2k(r["ms_per_frame"], impl)
-
-    def try_2k_tp(batch):
+    def try_2k_tp(batch, taps="stack"):
         # 2K THROUGHPUT posture: same net, batch>1 — a farm/offline
         # consumer cares about frames/sec/chip, where batching amortizes
         # the per-dispatch fixed cost.  Never replaces the latency key.
-        r = probe("chw", "stack", batch, th, tw, None, W16, cap_s=420)
+        r = probe("chw", taps, batch, th, tw, None, W16, cap_s=420)
         ms = r["ms_per_frame"]
         if (result.get("trimmed_2k_throughput_ms_per_frame") is None
                 or ms < result["trimmed_2k_throughput_ms_per_frame"]):
@@ -253,25 +253,32 @@ def main() -> None:
             result["trimmed_2k_throughput_batch"] = batch
             result["trimmed_2k_throughput_fps"] = round(1000.0 / ms, 1)
 
+    tp_taps = t_first[1] if t_first[0] == "chw" else "rowpack"
     challengers = [
-        (f"2k:{t_impls[1]}", lambda: try_2k(t_impls[1])),
-        ("hl:chw_int8", lambda: try_headline("chw_int8", "stack", 1, 0)),
-        ("hl:chw", lambda: try_headline("chw", "stack", 1, 0)),
+        ("2k:chw/rowpack", lambda: try_2k("chw", "rowpack")),
+        ("2k:chw/stack", lambda: try_2k("chw", "stack")),
+        ("2k:fused_int8", lambda: try_2k("fused_int8")),
         ("hl:fused_int8/acc_shift",
          lambda: try_headline("fused_int8", "acc_shift", 1, 32)),
         ("hl:fused", lambda: try_headline("fused", "stack", 1, 32)),
         ("hl:plain", lambda: try_headline("plain", "stack", 1, 32)),
-        ("2k_tp:b2", lambda: try_2k_tp(2)),
+        ("2k_tp:b2", lambda: try_2k_tp(2, tp_taps)),
         ("hl:fused_int8/b2",
          lambda: try_headline("fused_int8", "stack", 2, 16)),
-        ("2k_tp:b4", lambda: try_2k_tp(4)),
+        ("2k_tp:b4", lambda: try_2k_tp(4, tp_taps)),
         ("hl:fused_int8/b4",
          lambda: try_headline("fused_int8", "stack", 4, 8)),
+        ("hl:chw_int8", lambda: try_headline("chw_int8", "stack", 1, 0)),
+        ("hl:chw", lambda: try_headline("chw", "stack", 1, 0)),
     ]
-    # don't re-measure the configuration step 1 already measured
+    # don't re-measure configurations steps 1/3 already measured
     lg_key = f"hl:{lg_impl}" + ("" if lg_taps == "stack" else f"/{lg_taps}")
+    t2k_key = (f"2k:{t_first[0]}"
+               + (f"/{t_first[1]}" if t_first[0] == "chw" else ""))
     for name, fn in challengers:
         if name == lg_key and best["fps"] > 0:
+            continue
+        if name == t2k_key and t2k["ms"] is not None:
             continue
         try:
             fn()
