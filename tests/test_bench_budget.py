@@ -1,0 +1,83 @@
+"""bench.py budget discipline (VERDICT r4 weak #1).
+
+The single most important property of bench.py is that the driver's run
+COMPLETES with a parseable JSON line — even in the worst case where every
+probe would hang.  These tests pin the cheap end of that guarantee: with
+a deadline too small to afford any probe, the orchestrator must skip
+everything via _BudgetExhausted and still print exactly one JSON line,
+in seconds (no device, no compiles — the probes are never launched)."""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_bench(env_extra, timeout=120):
+    env = dict(os.environ, **env_extra)
+    # keep the child off the TPU plugin: probes are budget-skipped anyway,
+    # and the parent never initializes a backend
+    for var in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+                "PJRT_LIBRARY_PATH"):
+        env.pop(var, None)
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                          env=env, capture_output=True, text=True,
+                          timeout=timeout)
+
+
+def test_zero_budget_still_prints_json():
+    t0 = time.monotonic()
+    p = _run_bench({"PCSS_BENCH_SMOKE": "1", "PCSS_BENCH_DEADLINE_S": "31"})
+    elapsed = time.monotonic() - t0
+    lines = [ln for ln in p.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, p.stdout
+    row = json.loads(lines[0])
+    assert row["metric"] == "1080p_inference_frames_per_sec_per_chip"
+    assert "value" in row and "vs_baseline" in row
+    # nothing could be measured inside a 31 s budget → rc signals failure
+    # but the line is parseable (the driver records parsed + rc)
+    assert p.returncode == 1
+    # and it finished in seconds — every probe was skipped, not timed out
+    assert elapsed < 60, elapsed
+    assert "budget exhausted" in p.stderr or "failed" in p.stderr
+
+
+def test_probe_timeouts_sized_from_remaining_budget(monkeypatch):
+    """probe() must never request more child time than the remaining
+    budget (minus the emission margin), and must refuse to launch at all
+    when too little is left."""
+    sys.path.insert(0, REPO)
+    import pytest
+
+    import bench
+
+    seen = {}
+
+    class _FakeProc:
+        returncode = 0
+        stdout = '{"ms_per_frame": 1.0}\n'
+        stderr = ""
+
+    def fake_run(cmd, capture_output, text, timeout):
+        seen["timeout"] = timeout
+        return _FakeProc()
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    # plenty of budget → the per-probe cap wins
+    bench._T_END = time.monotonic() + 10_000.0
+    bench.probe("plain", "stack", 1, 8, 8, None, bench.W16, cap_s=480)
+    assert abs(seen["timeout"] - 480) < 1.0
+    # 100 s left → a 10000 s cap is clamped to remaining − 15 s margin
+    bench._T_END = time.monotonic() + 100.0
+    bench.probe("plain", "stack", 1, 8, 8, None, bench.W16, cap_s=10_000)
+    assert seen["timeout"] <= 85.5
+    # under the 30 s floor → refuses to launch (callers skip, not overrun)
+    bench._T_END = time.monotonic() + 40.0
+    seen.clear()
+    with pytest.raises(bench._BudgetExhausted):
+        bench.probe("plain", "stack", 1, 8, 8, None, bench.W16, cap_s=600)
+    assert not seen  # the child was never spawned
