@@ -272,12 +272,18 @@ class ConvBlock(nn.Module):
             import os
 
             strategy = os.environ.get("PCSS_CONVBLOCK_TAPS", "stack")
+            if strategy == "rowpack":
+                from pcss_unet_tpu.ops.pallas.convblock import rowpack_r
+
+                if rowpack_r(ka.shape[2], ka.shape[3], w2.shape[0]) < 2:
+                    strategy = "stack"   # r=1 degenerates to per-row dots
             return fused_conv_block_nhwc(
                 x.astype(self.dtype), w1, b1, w2, b2,
                 negative_slope=0.2, interpret=self.pallas_interpret,
                 stack_taps=("chunk128" if strategy == "chunk128"
                             else strategy == "stack"),
-                acc_shift=strategy == "acc_shift")
+                acc_shift=strategy == "acc_shift",
+                rowpack=strategy == "rowpack")
         x = conv_a(x)
         x = self._apply_norm(self._norm("norm_a"), x, train)
         x = act(x).astype(self.dtype)
