@@ -30,20 +30,51 @@ def _run_bench(env_extra, timeout=120):
 
 
 def test_zero_budget_still_prints_json():
+    # Frame overridden so it cannot match the committed last-good file:
+    # with no stale value eligible, a zero-budget run must STILL print
+    # one parseable line, with rc=1 (nothing measured, nothing reusable).
     t0 = time.monotonic()
-    p = _run_bench({"PCSS_BENCH_SMOKE": "1", "PCSS_BENCH_DEADLINE_S": "31"})
+    p = _run_bench({"PCSS_BENCH_SMOKE": "1", "PCSS_BENCH_DEADLINE_S": "31",
+                    "PCSS_BENCH_H": "64", "PCSS_BENCH_W": "64"})
     elapsed = time.monotonic() - t0
     lines = [ln for ln in p.stdout.strip().splitlines() if ln.strip()]
     assert len(lines) == 1, p.stdout
     row = json.loads(lines[0])
     assert row["metric"] == "1080p_inference_frames_per_sec_per_chip"
     assert "value" in row and "vs_baseline" in row
+    assert row["value"] == 0.0 and "stale_from_last_good" not in row
     # nothing could be measured inside a 31 s budget → rc signals failure
     # but the line is parseable (the driver records parsed + rc)
     assert p.returncode == 1
     # and it finished in seconds — every probe was skipped, not timed out
     assert elapsed < 60, elapsed
     assert "budget exhausted" in p.stderr or "failed" in p.stderr
+
+
+def test_zero_budget_emits_stale_last_good():
+    """Worst-case guarantee (VERDICT r4 next #1): when every probe fails
+    but a same-frame last-good measurement is persisted, bench.py emits
+    it — loudly marked stale — and exits 0 so the driver records a parsed
+    line with real keys instead of a forfeited round."""
+    lg_path = os.path.join(REPO, "logs", "bench_last_good.json")
+    if not os.path.exists(lg_path):
+        import pytest
+        pytest.skip("no committed last-good file")
+    with open(lg_path) as f:
+        lg = json.load(f)
+    w, h = lg["frame"].split("x")
+    p = _run_bench({"PCSS_BENCH_SMOKE": "1", "PCSS_BENCH_DEADLINE_S": "31",
+                    "PCSS_BENCH_H": h, "PCSS_BENCH_W": w})
+    lines = [ln for ln in p.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, p.stdout
+    row = json.loads(lines[0])
+    assert row["stale_from_last_good"] is True
+    assert row["value"] == lg["value"] and row["value"] > 0
+    assert "STALE" in row["note"]
+    assert p.returncode == 0
+    # the stale run must not have refreshed the last-good timestamp
+    with open(lg_path) as f:
+        assert json.load(f).get("measured_at") == lg.get("measured_at")
 
 
 def test_probe_timeouts_sized_from_remaining_budget(monkeypatch):
@@ -62,15 +93,20 @@ def test_probe_timeouts_sized_from_remaining_budget(monkeypatch):
         stdout = '{"ms_per_frame": 1.0}\n'
         stderr = ""
 
-    def fake_run(cmd, capture_output, text, timeout):
+    def fake_run(cmd, capture_output, text, timeout, env=None):
         seen["timeout"] = timeout
+        seen["env"] = env
         return _FakeProc()
 
     monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
     # plenty of budget → the per-probe cap wins
     bench._T_END = time.monotonic() + 10_000.0
     bench.probe("plain", "stack", 1, 8, 8, None, bench.W16, cap_s=480)
     assert abs(seen["timeout"] - 480) < 1.0
+    # probe children share the repo-local persistent compile cache even
+    # when the caller (the driver) didn't export it (r5a cold-compile fix)
+    assert seen["env"]["JAX_COMPILATION_CACHE_DIR"].endswith(".jax_cache")
     # 100 s left → a 10000 s cap is clamped to remaining − 15 s margin
     bench._T_END = time.monotonic() + 100.0
     bench.probe("plain", "stack", 1, 8, 8, None, bench.W16, cap_s=10_000)
