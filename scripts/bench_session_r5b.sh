@@ -31,6 +31,10 @@ run() {
 # 1. per-stage breakdown (separate log: stage rows are a different schema)
 run bench_stages 3600 sh -c "python scripts/bench_chw_stages.py > logs/bench_stages_r5b.jsonl"
 
+# 1b. tap-strategy A/B on the N-stream-bound stages (rowpack = the
+#     M-packing candidate; whole-forward per strategy included)
+run bench_taps 4800 sh -c "python scripts/bench_taps.py --strategies stack,chunk128,rowpack >> logs/bench_stages_r5b.jsonl"
+
 # 2. trimmed net with the new epilogue-fused engine
 run probe_w16_chw_2k 1800 python scripts/bench_probe.py --impl chw \
   --widths 16,32,128,256 --height 1024 --width 2048

@@ -77,6 +77,31 @@ def test_zero_budget_emits_stale_last_good():
         assert json.load(f).get("measured_at") == lg.get("measured_at")
 
 
+def test_unreachable_device_emits_stale_last_good(monkeypatch, capsys):
+    """Tunnel-down worst case (observed 2026-08-20: the axon tunnel died
+    mid-session and jax.devices() hung for hours): the driver run must
+    still print parsed keys — the last persisted measurement, marked
+    stale, with the unreachable error — and exit 0."""
+    import pytest
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    monkeypatch.setattr(bench, "_device_reachable", lambda: False)
+    monkeypatch.delenv("PCSS_BENCH_SMOKE", raising=False)
+    monkeypatch.setenv("PCSS_BENCH_DEADLINE_S", "45")
+    with pytest.raises(SystemExit) as ei:
+        bench.main()
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "unreachable" in row["error"]
+    if os.path.exists(os.path.join(REPO, "logs", "bench_last_good.json")):
+        assert row["stale_from_last_good"] is True and row["value"] > 0
+        assert "STALE" in row["note"]
+        assert ei.value.code == 0
+    else:
+        assert row["value"] == 0.0 and ei.value.code == 1
+
+
 def test_probe_timeouts_sized_from_remaining_budget(monkeypatch):
     """probe() must never request more child time than the remaining
     budget (minus the emission margin), and must refuse to launch at all
