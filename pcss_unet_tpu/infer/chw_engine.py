@@ -34,6 +34,7 @@ tests/test_chw_engine.py.  Reference semantics chain: Unetmodel.py:90-149.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -90,6 +91,145 @@ def _pool2x_chw(x: jax.Array, w: int) -> jax.Array:
     x = x.reshape(n, c, h // 2, 2, wp // 2, 2).mean((3, 5))
     half = w // 2
     return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, _wp(half) - wp // 2)))
+
+
+# ---------------------------------------------------------------------------
+# MXU-banded layout movers (round 5).  The r5b per-stage breakdown measured
+# the XLA lowerings of the pure-layout stages as the w16 2K frame's dominant
+# cost — entry unshuffle 3.14 ms of the 6.0 ms frame, pool_0 1.16 ms,
+# head+exit 0.69 ms (logs/bench_stages_r5b.jsonl) — because each is a
+# lane-crossing shuffle XLA lowers as scalar-ish copies.  The TPU-native
+# move: express the lane permutation as a contraction with a static one-hot
+# banded matrix and ride the MXU (ops/resize.banded_apply), keeping every
+# other dimension's movement lane-preserving (major-dim transposes, which
+# XLA lowers as row copies).  One-hot bf16 matmuls with f32 accumulation
+# are EXACT — each output is a single product by 1.0 — so these are
+# bit-identical to the reshape/transpose path, pinned by test_chw_engine.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _entry_perm_matrix(w: int, c: int) -> np.ndarray:
+    """[G·8·128, W·C] one-hot: out lane (g, p=(ci·2+dx), t) ← in lane
+    (2·(g·128+t)+dx)·C + ci for g·128+t < W/2; rows past W/2 stay zero,
+    which materializes the lane padding for free."""
+    w2 = w // 2
+    wp = _wp(w2)
+    g_blocks = wp // 128
+    out = np.arange(g_blocks * 2 * c * 128)
+    g, rem = out // (2 * c * 128), out % (2 * c * 128)
+    p, t = rem // 128, rem % 128
+    ci, dx = p // 2, p % 2
+    wprime = g * 128 + t
+    valid = wprime < w2
+    m = np.zeros((len(out), w * c), np.float32)
+    m[out[valid], (2 * wprime[valid] + dx[valid]) * c + ci[valid]] = 1.0
+    return m
+
+
+def _entry_chw_mxu(x: jax.Array, dtype) -> jax.Array:
+    """Same contract as :func:`_entry_chw`, as a banded MXU contraction.
+    The only lane-crossing step is the one-hot matmul; the dy/channel
+    splits are lane-preserving reshapes/major transposes."""
+    n, h, w, c = x.shape
+    wp = _wp(w // 2)
+    xb = x.astype(dtype).reshape(n * h, w * c)
+    y = banded_apply(xb, _entry_perm_matrix(w, c), axis=1, align=128)
+    y = y.reshape(n, h // 2, 2, wp // 128, c, 2, 128)  # (h2,dy,g,ci,dx,t)
+    y = y.transpose(0, 4, 2, 5, 1, 3, 6)               # (ci,dy,dx,h2,g,t)
+    return y.reshape(n, c * 4, h // 2, wp)
+
+
+@functools.lru_cache(maxsize=64)
+def _exit_perm_matrix(w: int, wp: int, out_ch: int, dx: int) -> np.ndarray:
+    """[W·out_ch, out_ch·Wp] one-hot for the dx half of the exit lane
+    interleave: out lane w_full·out_ch + c ← in lane c·Wp + w' where
+    w_full = 2·w' + dx."""
+    w2 = w // 2
+    m = np.zeros((w * out_ch, out_ch * wp), np.float32)
+    wprime = np.arange(w2)
+    for cc in range(out_ch):
+        m[(2 * wprime + dx) * out_ch + cc, cc * wp + wprime] = 1.0
+    return m
+
+
+def _exit_nhwc_mxu(x: jax.Array, w: int, out_ch: int) -> jax.Array:
+    """Same contract as :func:`_exit_nhwc`: [N, out·4, H', Wp] →
+    [N, H, W, out] + sigmoid, with the dx lane interleave on the MXU."""
+    n, c4, hh, wp = x.shape
+    x = x.reshape(n, out_ch, 2, 2, hh, wp)         # (c, dy, dx, h2, wp)
+    x = x.transpose(0, 4, 2, 1, 3, 5)              # (n, h2, dy, c, dx, wp)
+    rows = n * hh * 2
+    z = x.reshape(rows, out_ch, 2, wp)
+    out = (banded_apply(z[:, :, 0].reshape(rows, out_ch * wp),
+                        _exit_perm_matrix(w, wp, out_ch, 0), axis=1,
+                        align=128)
+           + banded_apply(z[:, :, 1].reshape(rows, out_ch * wp),
+                          _exit_perm_matrix(w, wp, out_ch, 1), axis=1,
+                          align=128))
+    out = out.reshape(n, hh * 2, w, out_ch)
+    return jax.nn.sigmoid(out.astype(jnp.float32))
+
+
+@functools.lru_cache(maxsize=64)
+def _pool_matrices(h: int, w: int, wp: int) -> tuple[np.ndarray, np.ndarray]:
+    half = w // 2
+    wp2 = _wp(half)
+    m_h = np.zeros((h // 2, h), np.float32)
+    r = np.arange(h // 2)
+    m_h[r, 2 * r] = 0.5
+    m_h[r, 2 * r + 1] = 0.5
+    m_w = np.zeros((wp2, wp), np.float32)
+    q = np.arange(half)
+    m_w[q, 2 * q] = 0.5
+    m_w[q, 2 * q + 1] = 0.5                    # rows ≥ half stay zero: pads
+    return m_h, m_w
+
+
+def _pool2x_chw_mxu(x: jax.Array, w: int) -> jax.Array:
+    """Same contract as :func:`_pool2x_chw` via two banded contractions
+    (H rows then W lanes).  0.5·(a+b) twice with f32 accumulation equals
+    the 4-tap mean up to bf16 rounding of the intermediate."""
+    n, c, h, wp = x.shape
+    m_h, m_w = _pool_matrices(h, w, wp)
+    x = banded_apply(x, m_h, axis=2, align=8)
+    return banded_apply(x, m_w, axis=3, align=128)
+
+
+def _block_chw_einsum(x, params, *, dtype, residual=None):
+    """Wide (≥128-in) ConvBlock computed channels-major as nine shifted
+    channel contractions — MXU-native, NO layout interlude.  The NHWC
+    interlude pays a transpose pair per wide stage (r5b breakdown:
+    enc_3 0.70 ms, dec_0 0.33 ms at w16-2K shapes, mostly relayout);
+    this form keeps [N, C, H, Wp] throughout: a 3×3 SAME conv is
+    Σ_ky,kx W1[ky,kx] ⊗ shift(x), each term an einsum over C, and the
+    1×1 is a single contraction.  Semantics = ConvBlock (folded BN):
+    leaky(conv1×1(leaky(conv3×3+b1))+b2), Unetmodel.py:21-38.
+
+    Output pad columns are NOT zero (the kx shifts smear edge values
+    into them) — every downstream consumer is a banded matrix with zero
+    input-pad columns (pools/upsample/head-resize), which filters them;
+    chw kernels never directly consume a wide stage in the U-Net
+    topology (wide stages are followed by pool/upsample)."""
+    ka = params["conv_a"]["kernel"].astype(dtype)      # [3,3,Cin,Cmid] HWIO
+    b1 = params["conv_a"]["bias"].astype(jnp.float32)[None, :, None, None]
+    w2 = params["conv_b"]["kernel"][0, 0].astype(dtype)
+    b2 = params["conv_b"]["bias"].astype(jnp.float32)[None, :, None, None]
+    n, cin, h, wp = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    mid = None
+    for ky in range(3):
+        for kx in range(3):
+            t = jax.lax.slice(xp, (0, 0, ky, kx), (n, cin, ky + h, kx + wp))
+            term = jnp.einsum("cm,nchw->nmhw", ka[ky, kx], t,
+                              preferred_element_type=jnp.float32)
+            mid = term if mid is None else mid + term
+    mid = mid + b1
+    mid = jnp.where(mid >= 0, mid, mid * 0.2).astype(dtype)
+    out = jnp.einsum("cm,nchw->nmhw", w2, mid,
+                     preferred_element_type=jnp.float32) + b2
+    out = jnp.where(out >= 0, out, out * 0.2).astype(dtype)
+    return out if residual is None else out + residual
 
 
 def _resize_chw(x: jax.Array, m_h: np.ndarray, m_w_padded: np.ndarray,
@@ -245,11 +385,25 @@ def _chw_fusable(cin: int, cout: int, use128: bool) -> bool:
 def chw_forward(variables: dict, x: jax.Array, *,
                 dtype: Any = jnp.bfloat16, int8: bool = False,
                 taps: str = "stack", use128_chw: bool = True,
+                movers: str = "mxu", wide: str = "auto",
                 interpret: bool = False) -> jax.Array:
     """Channels-major inference forward, semantics-equal to
     ``UNet(normalization='none', ...).apply(variables, x, False)`` on
     BN-folded params.  x [N,H,W,in_ch] with H, W even and pooling-aligned
-    (pad first — infer/frame.py's engine already pads to ×16)."""
+    (pad first — infer/frame.py's engine already pads to ×16).
+
+    ``movers`` picks the implementation of the pure-layout stages (entry
+    unshuffle, 2× pools, exit interleave): ``"mxu"`` (default) runs them
+    as banded one-hot contractions on the MXU — the r5b stage breakdown
+    measured the ``"xla"`` reshape/transpose lowerings at over half the
+    w16 2K frame (entry alone 3.14 ms of 6.0) — ``"xla"`` keeps the
+    plain lowerings as the reference/fallback path.
+
+    ``wide`` picks the wide (no channels-major kernel) stages' path:
+    ``"auto"`` (default) runs them channels-major as shifted MXU
+    contractions (:func:`_block_chw_einsum`, no transpose interlude)
+    except where the int8 whole-block NHWC kernels would engage;
+    ``"einsum"``/``"nhwc"`` force one path."""
     params = variables["params"]
     widths, in_ch, out_ch = widths_from_params(params)
     n, h, w, c = x.shape
@@ -258,8 +412,16 @@ def chw_forward(variables: dict, x: jax.Array, *,
     if h % align or w % align:
         raise ValueError(f"chw_forward needs H,W divisible by {align} "
                          f"(got {h}x{w}); pad at the pipeline edge")
+    if movers not in ("mxu", "xla"):
+        raise ValueError(f"movers must be 'mxu' or 'xla', got {movers!r}")
+    if wide not in ("auto", "einsum", "nhwc"):
+        raise ValueError(f"wide must be auto/einsum/nhwc, got {wide!r}")
+    mxu = movers == "mxu"
+    entry = _entry_chw_mxu if mxu else _entry_chw
+    pool = _pool2x_chw_mxu if mxu else _pool2x_chw
+    exit_ = _exit_nhwc_mxu if mxu else _exit_nhwc
 
-    x = _entry_chw(x, dtype)                 # [N, in·4, H/2, Wp]
+    x = entry(x, dtype)                      # [N, in·4, H/2, Wp]
     cur_w = w // 2
     kw = dict(dtype=dtype, interpret=interpret)
 
@@ -270,6 +432,16 @@ def chw_forward(variables: dict, x: jax.Array, *,
         if _chw_fusable(cin, cout, use128_chw):
             return _block_chw(x, p, cur_w, taps=taps, residual=residual,
                               **kw)
+        # int8 whole-block kernels are NHWC-native and win on the
+        # MXU-bound wide stages (the w64 posture) — keep the interlude
+        # for stages where they engage; otherwise stay channels-major.
+        from pcss_unet_tpu.ops.pallas import pallas_available
+
+        int8_stage = (int8 and (interpret or pallas_available())
+                      and cin >= 256
+                      and (cin * cout < 2 ** 18 or cin >= 1024))
+        if wide == "einsum" or (wide == "auto" and not int8_stage):
+            return _block_chw_einsum(x, p, dtype=dtype, residual=residual)
         out = _block_nhwc_dispatch(_to_nhwc(x, cur_w), p, int8=int8,
                                    taps=taps, **kw)
         out = _to_chw(out)
@@ -279,7 +451,7 @@ def chw_forward(variables: dict, x: jax.Array, *,
     for i in range(depth - 1):
         x = any_block(x, f"enc_{i}", cur_w)
         skips.append((x, cur_w))
-        x = _pool2x_chw(x, cur_w)
+        x = pool(x, cur_w)
         cur_w //= 2
     x = any_block(x, f"enc_{depth - 1}", cur_w)
 
@@ -302,4 +474,4 @@ def chw_forward(variables: dict, x: jax.Array, *,
                    preferred_element_type=jnp.float32)
     x = x + params["head"]["bias"].astype(jnp.float32)[None, :, None, None]
     x = x.astype(dtype)
-    return _exit_nhwc(x, w, out_ch)
+    return exit_(x, w, out_ch)

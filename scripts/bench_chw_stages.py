@@ -87,6 +87,8 @@ def main() -> None:
 
     add("entry", lambda p, x: ce._entry_chw(x, dtype), {},
         jnp.asarray(rng.standard_normal((1, H, W, 4)).astype(np.float32)))
+    add("entry[mxu]", lambda p, x: ce._entry_chw_mxu(x, dtype), {},
+        jnp.asarray(rng.standard_normal((1, H, W, 4)).astype(np.float32)))
 
     def blk(name, w):
         return lambda p, x: ce._block_chw(x, p, w, taps=taps, **kw)
@@ -106,6 +108,8 @@ def main() -> None:
         rand_chw(16, h2, w2))
     add("pool_0", lambda p, x: ce._pool2x_chw(x, w2), {},
         rand_chw(16, h2, w2))
+    add("pool_0[mxu]", lambda p, x: ce._pool2x_chw_mxu(x, w2), {},
+        rand_chw(16, h2, w2))
     add("enc_1 (16>32 chw)", blk("enc_1", w2 // 2), params["enc_1"],
         rand_chw(16, h2 // 2, w2 // 2))
     add("pool_1", lambda p, x: ce._pool2x_chw(x, w2 // 2), {},
@@ -116,6 +120,9 @@ def main() -> None:
         rand_chw(128, h2 // 4, w2 // 4))
     add("enc_3 (128>256 nhwc)", interlude("enc_3", w2 // 8, False),
         params["enc_3"], rand_chw(128, h2 // 8, w2 // 8))
+    add("enc_3[einsum]",
+        lambda p, x: ce._block_chw_einsum(x, p, dtype=dtype),
+        params["enc_3"], rand_chw(128, h2 // 8, w2 // 8))
     add("up_0 (C256)", lambda p, x: ce._upsample2x_chw(x, w2 // 8, dtype),
         {}, rand_chw(256, h2 // 8, w2 // 8))
     add("dec_0 (256>128 nhwc)", interlude("dec_0", w2 // 4, False),
@@ -123,6 +130,11 @@ def main() -> None:
     add("skip_add_dec0", lambda p, x: x + p["res"],
         {"res": rand_chw(128, h2 // 4, w2 // 4)},
         rand_chw(128, h2 // 4, w2 // 4))
+    add("dec_0[einsum+res]",
+        lambda p, x: ce._block_chw_einsum(x, p["blk"], dtype=dtype,
+                                          residual=p["res"]),
+        {"blk": params["dec_0"], "res": rand_chw(128, h2 // 4, w2 // 4)},
+        rand_chw(256, h2 // 4, w2 // 4))
     add("up_1 (C128)", lambda p, x: ce._upsample2x_chw(x, w2 // 4, dtype),
         {}, rand_chw(128, h2 // 4, w2 // 4))
     add("dec_1 (128>32 chw+res)", blk_res("dec_1", w2 // 2, None),
@@ -154,6 +166,16 @@ def main() -> None:
 
     add("head_1x1+exit", head_exit, params["head"], rand_chw(16, h2, w2))
 
+    def head_exit_mxu(p, x):
+        hk = p["kernel"][0, 0].astype(dtype)
+        x = jnp.einsum("oc,nchw->nohw", hk.T, x,
+                       preferred_element_type=jnp.float32)
+        x = x + p["bias"].astype(jnp.float32)[None, :, None, None]
+        return ce._exit_nhwc_mxu(x.astype(dtype), W, 1)
+
+    add("head_1x1+exit[mxu]", head_exit_mxu, params["head"],
+        rand_chw(16, h2, w2))
+
     total = 0.0
     for name, fn, sub, x in stages:
         try:
@@ -164,21 +186,25 @@ def main() -> None:
             print(json.dumps({"stage": name, "error": str(e)[-200:]}),
                   flush=True)
             continue
-        total += ms
+        if "[" not in name:         # variant rows are not part of the sum
+            total += ms
         print(json.dumps({"stage": name, "ms": round(ms, 4),
                           "shape": list(x.shape)}), flush=True)
 
-    # whole-forward cross-check (same harness, same settings)
+    # whole-forward cross-check (same harness, same settings), both mover
+    # implementations of the layout stages
     x_full = jnp.asarray(rng.standard_normal((1, H, W, 4)).astype(np.float32))
-    whole = measure_ms_per_frame(
-        lambda v, xx: ce.chw_forward(v, xx, dtype=dtype, taps=taps,
-                                     interpret=interp),
-        params, {}, x_full, scan_len=scan)
     print(json.dumps({"stage": "TOTAL(stage sum)", "ms": round(total, 3)}),
           flush=True)
-    print(json.dumps({"stage": "WHOLE chw_forward", "ms": round(whole, 3),
-                      "frame": f"{W}x{H}", "taps": taps,
-                      "device": str(jax.devices()[0])}), flush=True)
+    for movers in ("xla", "mxu"):
+        whole = measure_ms_per_frame(
+            lambda v, xx: ce.chw_forward(v, xx, dtype=dtype, taps=taps,
+                                         movers=movers, interpret=interp),
+            params, {}, x_full, scan_len=scan)
+        print(json.dumps({"stage": f"WHOLE chw_forward[{movers}]",
+                          "ms": round(whole, 3),
+                          "frame": f"{W}x{H}", "taps": taps,
+                          "device": str(jax.devices()[0])}), flush=True)
 
 
 if __name__ == "__main__":

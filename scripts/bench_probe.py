@@ -32,6 +32,14 @@ def main() -> None:
                     choices=["plain", "fused", "fused_int8",
                              "chw", "chw_int8"])
     ap.add_argument("--taps", default="stack")
+    ap.add_argument("--movers", default="mxu", choices=["mxu", "xla"],
+                    help="chw engine layout-stage implementation "
+                         "(entry/pools/exit): banded MXU contractions or "
+                         "the plain XLA reshape/transpose lowerings")
+    ap.add_argument("--wide", default="auto",
+                    choices=["auto", "einsum", "nhwc"],
+                    help="chw engine wide-stage path: channels-major "
+                         "shifted einsums or the NHWC interlude")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--height", type=int, required=True)
     ap.add_argument("--width", type=int, required=True)
@@ -50,6 +58,14 @@ def main() -> None:
     import numpy as np
 
     import jax
+
+    if args.interpret:
+        # --interpret means CPU validation: pin the platform via config
+        # (JAX_PLATFORMS=cpu is IGNORED on images where the TPU-tunnel
+        # plugin force-registers itself — an "interpret" run would
+        # otherwise still dispatch XLA ops to the real chip and perturb
+        # any concurrent measurement session)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from pcss_unet_tpu.utils.compilecache import enable_persistent_cache
@@ -71,9 +87,11 @@ def main() -> None:
     os.environ["PCSS_CONVBLOCK_TAPS"] = args.taps
     if args.impl == "chw":
         fn = lambda v, x: chw_forward(v, x, taps=args.taps,  # noqa: E731
+                                      movers=args.movers, wide=args.wide,
                                       interpret=args.interpret)
     elif args.impl == "chw_int8":
         fn = lambda v, x: chw_forward(v, x, taps=args.taps,  # noqa: E731
+                                      movers=args.movers, wide=args.wide,
                                       int8=True, interpret=args.interpret)
     else:
         kw: dict = {"normalization": "none"}
@@ -96,11 +114,15 @@ def main() -> None:
         total = forward_flops(fn, params, batch_stats, x)
         if total:
             flops = total / args.batch
-    print(json.dumps({
+    row = {
         "ms_per_frame": ms, "flops_per_frame": flops,
         "impl": args.impl, "taps": args.taps, "batch": args.batch,
         "frame": f"{args.width}x{args.height}", "device": str(jax.devices()[0]),
-    }))
+    }
+    if args.impl.startswith("chw"):
+        row["movers"] = args.movers
+        row["wide"] = args.wide
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

@@ -116,3 +116,85 @@ def test_engine_chw_layout_guards():
                         use_pallas=False)
     with pytest.raises(ValueError, match="layout"):
         InferenceEngine(model, variables, layout="nchw")
+
+
+# ---------------------------------------------------------------------------
+# MXU-banded layout movers (round 5): one-hot contraction twins of the
+# XLA reshape/transpose entry / pools / exit must be EXACT (each output
+# element is a single product by 1.0 under f32 accumulation).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("h,w", [
+    (64, 128),     # Wp exactly one pad block
+    (32, 240),     # W/2 not a multiple of 128 (1920-style partial block)
+])
+def test_entry_mxu_exact(rng, h, w):
+    from pcss_unet_tpu.infer import chw_engine as ce
+
+    x = jnp.asarray(rng.standard_normal((2, h, w, 4)).astype(np.float32))
+    for dtype in (jnp.float32, jnp.bfloat16):
+        ref = np.asarray(ce._entry_chw(x, dtype))
+        got = np.asarray(ce._entry_chw_mxu(x, dtype))
+        assert got.shape == ref.shape and got.dtype == ref.dtype
+        np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("h,w", [(64, 128), (32, 240)])
+def test_exit_mxu_exact(rng, h, w):
+    from pcss_unet_tpu.infer import chw_engine as ce
+
+    wp = ce._wp(w // 2)
+    x = np.zeros((2, 4, h // 2, wp), np.float32)
+    x[..., :w // 2] = rng.standard_normal((2, 4, h // 2, w // 2))
+    x = jnp.asarray(x)
+    ref = np.asarray(ce._exit_nhwc(x, w, 1))
+    got = np.asarray(ce._exit_nhwc_mxu(x, w, 1))
+    assert got.shape == ref.shape and got.dtype == ref.dtype
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("c,h,w", [(16, 64, 128), (32, 32, 240)])
+def test_pool_mxu_matches(rng, c, h, w):
+    from pcss_unet_tpu.infer import chw_engine as ce
+
+    wp = ce._wp(w)
+    x = np.zeros((1, c, h, wp), np.float32)
+    x[..., :w] = rng.standard_normal((1, c, h, w))
+    x = jnp.asarray(x)
+    ref = np.asarray(ce._pool2x_chw(x, w))
+    got = np.asarray(ce._pool2x_chw_mxu(x, w))
+    assert got.shape == ref.shape
+    # f32: both orderings of the 4-tap mean are exact to float noise
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+    # pad columns must stay exactly zero (kernel SAME-padding invariant)
+    assert np.all(got[..., w // 2:] == 0.0)
+
+
+def test_chw_forward_movers_equivalent(rng):
+    """Whole forward: movers='mxu' ≡ movers='xla' on the trimmed-net
+    structure (chw + 128 + wide-interlude stages)."""
+    plain, variables = _folded((16, 32, 128, 256), seed=9)
+    x = jnp.asarray(rng.standard_normal((1, 64, 160, 4)).astype(np.float32))
+    ref = np.asarray(chw_forward(variables, x, dtype=jnp.float32,
+                                 movers="xla", interpret=True))
+    got = np.asarray(chw_forward(variables, x, dtype=jnp.float32,
+                                 movers="mxu", interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+    with pytest.raises(ValueError, match="movers"):
+        chw_forward(variables, x, movers="nope", interpret=True)
+
+
+def test_chw_forward_wide_paths_equivalent(rng):
+    """Wide stages: channels-major shifted-einsum path ≡ the NHWC
+    interlude, and both ≡ the plain model (pads filtered downstream)."""
+    plain, variables = _folded((16, 32, 128, 256), seed=11)
+    x = jnp.asarray(rng.standard_normal((1, 32, 112, 4)).astype(np.float32))
+    ref = np.asarray(plain.apply(variables, x, False))
+    for wide in ("einsum", "nhwc", "auto"):
+        got = np.asarray(chw_forward(variables, x, dtype=jnp.float32,
+                                     wide=wide, interpret=True))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"wide={wide}")
+    with pytest.raises(ValueError, match="wide"):
+        chw_forward(variables, x, wide="nope", interpret=True)
