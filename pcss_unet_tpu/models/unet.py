@@ -31,6 +31,7 @@ Differences by design (TPU-first, documented per SURVEY.md §7):
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Sequence
 
 import flax.linen as nn
@@ -40,7 +41,9 @@ import jax.numpy as jnp
 from pcss_unet_tpu.ops import (
     avg_pool_2x,
     pixel_shuffle_nhwc,
+    pixel_shuffle_nhwc_mxu,
     pixel_unshuffle_nhwc,
+    pixel_unshuffle_nhwc_mxu,
     resize_bilinear_align_corners,
     upsample2x_align_corners,
 )
@@ -369,7 +372,16 @@ class UNet(nn.Module):
             # odd-size fixup, reference Unetmodel.py:93-97 (static at trace time)
             x = resize_bilinear_align_corners(x, (h - h % 2, w - w % 2))
         x = x.astype(self.dtype)
-        x = pixel_unshuffle_nhwc(x, 2)          # [B, H/2, W/2, in_ch*4]
+        # Inference graphs use the MXU shuffle twins (exact; the XLA
+        # transpose lowering of these lane-crossing shuffles is the
+        # frame's single biggest cost at deployment shapes — see
+        # ops/pixelshuffle.py).  Training keeps the reshape form: its
+        # backward is the cheap transpose and the 2K train step is
+        # HBM-tight.  PCSS_PIXELSHUFFLE=xla forces the old path (A/B).
+        mxu_shuf = (not train
+                    and os.environ.get("PCSS_PIXELSHUFFLE", "mxu") == "mxu")
+        x = (pixel_unshuffle_nhwc_mxu if mxu_shuf
+             else pixel_unshuffle_nhwc)(x, 2)   # [B, H/2, W/2, in_ch*4]
         unshuffled_ch = self.in_ch * 4
         # half-res window row offset (traced) for global-coefficient resizes
         a_half = None if not windowed else window_offset // 2
@@ -457,7 +469,8 @@ class UNet(nn.Module):
             x, train=train)
         x = nn.Conv(self.out_ch * 4, (1, 1), dtype=self.dtype,
                     param_dtype=self.param_dtype, name="head")(x)
-        x = pixel_shuffle_nhwc(x, 2)              # [B, H, W, out_ch]
+        x = (pixel_shuffle_nhwc_mxu if mxu_shuf
+             else pixel_shuffle_nhwc)(x, 2)        # [B, H, W, out_ch]
         x = jax.nn.sigmoid(x.astype(jnp.float32))  # Unetmodel.py:148
         return x.astype(orig_dtype) if orig_dtype == jnp.float32 else x
 

@@ -128,3 +128,50 @@ def test_avg_pool_matches_torch(rng, hw):
     ours = np.asarray(avg_pool_2x(jnp.asarray(x)))
     ref = torch.nn.AvgPool2d(2)(torch.from_numpy(nchw(x))).numpy()
     np.testing.assert_allclose(ours, nhwc(ref), rtol=1e-6, atol=1e-6)
+
+
+def test_pixel_shuffle_mxu_exact():
+    """MXU one-hot-contraction twins of the pixel shuffles are
+    bit-identical to the reshape forms (both dtypes, odd-ish sizes)."""
+    import jax.numpy as jnp
+
+    from pcss_unet_tpu.ops import (pixel_shuffle_nhwc,
+                                   pixel_shuffle_nhwc_mxu,
+                                   pixel_unshuffle_nhwc,
+                                   pixel_unshuffle_nhwc_mxu)
+
+    rng = np.random.default_rng(3)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.standard_normal((2, 12, 20, 4)), dtype)
+        ref = np.asarray(pixel_unshuffle_nhwc(x, 2))
+        got = np.asarray(pixel_unshuffle_nhwc_mxu(x, 2))
+        np.testing.assert_array_equal(got, ref)
+        y = jnp.asarray(rng.standard_normal((2, 6, 10, 16)), dtype)
+        ref = np.asarray(pixel_shuffle_nhwc(y, 2))
+        got = np.asarray(pixel_shuffle_nhwc_mxu(y, 2))
+        np.testing.assert_array_equal(got, ref)
+    # r != 2 falls back to the reshape form
+    x = jnp.asarray(rng.standard_normal((1, 9, 9, 2)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(pixel_unshuffle_nhwc_mxu(x, 3)),
+        np.asarray(pixel_unshuffle_nhwc(x, 3)))
+
+
+def test_unet_mxu_shuffle_gate(monkeypatch):
+    """UNet inference uses the MXU shuffles by default; the env override
+    and the training path keep the reshape form — outputs identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from pcss_unet_tpu.models import UNet
+
+    model = UNet(encoder_widths=(8, 16), dtype=jnp.float32,
+                 dropout_rate=0.0)
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 16, 24, 4)).astype(np.float32))
+    variables = model.init({"params": key, "dropout": key}, x, False)
+    ref = np.asarray(model.apply(variables, x, False))
+    monkeypatch.setenv("PCSS_PIXELSHUFFLE", "xla")
+    got = np.asarray(model.apply(variables, x, False))
+    np.testing.assert_array_equal(got, ref)
