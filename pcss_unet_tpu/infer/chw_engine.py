@@ -384,7 +384,7 @@ def _chw_fusable(cin: int, cout: int, use128: bool) -> bool:
 
 def chw_forward(variables: dict, x: jax.Array, *,
                 dtype: Any = jnp.bfloat16, int8: bool = False,
-                taps: str = "stack", use128_chw: bool = True,
+                taps: str | dict = "stack", use128_chw: bool = True,
                 movers: str = "mxu", wide: str = "auto",
                 interpret: bool = False) -> jax.Array:
     """Channels-major inference forward, semantics-equal to
@@ -429,8 +429,14 @@ def chw_forward(variables: dict, x: jax.Array, *,
         p = params[name]
         cin = p["conv_a"]["kernel"].shape[2]
         cout = p["conv_b"]["kernel"].shape[-1]
+        # per-stage tap strategy: a dict maps stage name -> strategy
+        # ("*" = default) — the r5b A/B showed no single strategy wins
+        # every stage (chunk128 takes dec_final 0.073 vs 0.214 ms but
+        # loses enc_1 0.66 vs 0.13; logs/bench_stages_r5b.jsonl)
+        t = (taps.get(name, taps.get("*", "stack"))
+             if isinstance(taps, dict) else taps)
         if _chw_fusable(cin, cout, use128_chw):
-            return _block_chw(x, p, cur_w, taps=taps, residual=residual,
+            return _block_chw(x, p, cur_w, taps=t, residual=residual,
                               **kw)
         # int8 whole-block kernels are NHWC-native and win on the
         # MXU-bound wide stages (the w64 posture) — keep the interlude
@@ -443,7 +449,7 @@ def chw_forward(variables: dict, x: jax.Array, *,
         if wide == "einsum" or (wide == "auto" and not int8_stage):
             return _block_chw_einsum(x, p, dtype=dtype, residual=residual)
         out = _block_nhwc_dispatch(_to_nhwc(x, cur_w), p, int8=int8,
-                                   taps=taps, **kw)
+                                   taps=t, **kw)
         out = _to_chw(out)
         return out if residual is None else out + residual
 

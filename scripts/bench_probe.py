@@ -84,13 +84,17 @@ def main() -> None:
         jnp.zeros((1, 64, 64, 4), jnp.float32), False)))
     params, batch_stats = folded["params"], folded["batch_stats"]
 
-    os.environ["PCSS_CONVBLOCK_TAPS"] = args.taps
+    # per-stage taps: "dec_final=chunk128,*=stack" parses to a dict
+    taps = (dict(kv.split("=") for kv in args.taps.split(","))
+            if "=" in args.taps else args.taps)
+    if isinstance(taps, str):
+        os.environ["PCSS_CONVBLOCK_TAPS"] = taps
     if args.impl == "chw":
-        fn = lambda v, x: chw_forward(v, x, taps=args.taps,  # noqa: E731
+        fn = lambda v, x: chw_forward(v, x, taps=taps,  # noqa: E731
                                       movers=args.movers, wide=args.wide,
                                       interpret=args.interpret)
     elif args.impl == "chw_int8":
-        fn = lambda v, x: chw_forward(v, x, taps=args.taps,  # noqa: E731
+        fn = lambda v, x: chw_forward(v, x, taps=taps,  # noqa: E731
                                       movers=args.movers, wide=args.wide,
                                       int8=True, interpret=args.interpret)
     else:

@@ -48,6 +48,11 @@ run probe_w16_chw_2k_b4 1800 python scripts/bench_probe.py --impl chw \
 run probe_w16_chw_1080p 1800 python scripts/bench_probe.py --impl chw \
   --widths 16,32,128,256 --height 1088 --width 1920
 
+# 5b. mixed per-stage taps (r5b A/B: chunk128 wins dec_final only)
+run probe_w16_chw_2k_mixedtaps 1800 python scripts/bench_probe.py --impl chw \
+  --taps "dec_final=chunk128,*=stack" \
+  --widths 16,32,128,256 --height 1024 --width 2048
+
 # 6. fresh headline on warm caches (refreshes bench_last_good.json)
 run bench_headline 1500 python bench.py
 echo "=== r5c session done ===" >&2

@@ -198,3 +198,15 @@ def test_chw_forward_wide_paths_equivalent(rng):
                                    err_msg=f"wide={wide}")
     with pytest.raises(ValueError, match="wide"):
         chw_forward(variables, x, wide="nope", interpret=True)
+
+
+def test_chw_forward_per_stage_taps(rng):
+    """taps accepts a per-stage dict ('*' = default); parity holds for a
+    mixed assignment."""
+    plain, variables = _folded((16, 32), seed=13)
+    x = jnp.asarray(rng.standard_normal((1, 32, 48, 4)).astype(np.float32))
+    ref = np.asarray(plain.apply(variables, x, False))
+    got = np.asarray(chw_forward(
+        variables, x, dtype=jnp.float32, interpret=True,
+        taps={"dec_final": "chunk128", "enc_0": "acc_shift", "*": "stack"}))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
