@@ -53,6 +53,15 @@ run probe_w16_chw_2k_mixedtaps 1800 python scripts/bench_probe.py --impl chw \
   --taps "dec_final=chunk128,*=stack" \
   --widths 16,32,128,256 --height 1024 --width 2048
 
-# 6. fresh headline on warm caches (refreshes bench_last_good.json)
+# 6. w64 channels-major, movers rematch: the r5a measured-negative
+#    (chw_int8 15.32 ms vs NHWC fused+int8 14.5 ms at 1080p) carried the
+#    old XLA entry/pool/exit costs — the mxu movers remove exactly those,
+#    so the posture verdict must be re-taken
+run probe_w64_chwint8_1080p 1800 python scripts/bench_probe.py --impl chw_int8 \
+  --widths 64,128,512,1024 --height 1088 --width 1920
+run probe_w64_chwint8_2k 1800 python scripts/bench_probe.py --impl chw_int8 \
+  --widths 64,128,512,1024 --height 1024 --width 2048
+
+# 7. fresh headline on warm caches (refreshes bench_last_good.json)
 run bench_headline 1500 python bench.py
 echo "=== r5c session done ===" >&2
