@@ -310,10 +310,13 @@ def main() -> None:
             result["trimmed_2k_throughput_batch"] = batch
             result["trimmed_2k_throughput_fps"] = round(1000.0 / ms, 1)
 
-    tp_taps = t_first[1] if t_first[0] == "chw" else "rowpack"
+    tp_taps = t_first[1] if t_first[0] == "chw" else "stack"
     challengers = [
-        ("2k:chw/rowpack", lambda: try_2k("chw", "rowpack")),
         ("2k:chw/stack", lambda: try_2k("chw", "stack")),
+        # w64 channels-major is a LIVE headline contender again: its r5a
+        # measured-negative (15.32 vs 14.5 ms NHWC) carried the old XLA
+        # entry/pool/exit, which the MXU movers (commit cb0ac29) replace
+        ("hl:chw_int8", lambda: try_headline("chw_int8", "stack", 1, 0)),
         ("2k:fused_int8", lambda: try_2k("fused_int8")),
         ("hl:fused_int8/acc_shift",
          lambda: try_headline("fused_int8", "acc_shift", 1, 32)),
@@ -325,7 +328,7 @@ def main() -> None:
         ("2k_tp:b4", lambda: try_2k_tp(4, tp_taps)),
         ("hl:fused_int8/b4",
          lambda: try_headline("fused_int8", "stack", 4, 8)),
-        ("hl:chw_int8", lambda: try_headline("chw_int8", "stack", 1, 0)),
+        ("2k:chw/rowpack", lambda: try_2k("chw", "rowpack")),
         ("hl:chw", lambda: try_headline("chw", "stack", 1, 0)),
     ]
     # don't re-measure configurations steps 1/3 already measured
