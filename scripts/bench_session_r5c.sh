@@ -33,23 +33,23 @@ run() {
 run bench_stages 4800 sh -c "python scripts/bench_chw_stages.py > logs/bench_stages_r5c.jsonl"
 
 # 2. movers control: same code, XLA movers (isolates the delta)
-run probe_w16_chw_2k_xla 1800 python scripts/bench_probe.py --impl chw \
+run probe_w16_chw_2k_xla 2700 python scripts/bench_probe.py --impl chw \
   --movers xla --wide nhwc --widths 16,32,128,256 --height 1024 --width 2048
 
 # 3. int8 inside the chw engine, layout floor removed
-run probe_w16_chwint8_2k 1800 python scripts/bench_probe.py --impl chw_int8 \
+run probe_w16_chwint8_2k 2700 python scripts/bench_probe.py --impl chw_int8 \
   --widths 16,32,128,256 --height 1024 --width 2048
 
 # 4. 2K throughput posture with the new engine
-run probe_w16_chw_2k_b4 1800 python scripts/bench_probe.py --impl chw \
+run probe_w16_chw_2k_b4 2700 python scripts/bench_probe.py --impl chw \
   --batch 4 --widths 16,32,128,256 --height 1024 --width 2048
 
 # 5. 1080p with the new engine (in case r5b's probe predated cb0ac29)
-run probe_w16_chw_1080p 1800 python scripts/bench_probe.py --impl chw \
+run probe_w16_chw_1080p 2700 python scripts/bench_probe.py --impl chw \
   --widths 16,32,128,256 --height 1088 --width 1920
 
 # 5b. mixed per-stage taps (r5b A/B: chunk128 wins dec_final only)
-run probe_w16_chw_2k_mixedtaps 1800 python scripts/bench_probe.py --impl chw \
+run probe_w16_chw_2k_mixedtaps 2700 python scripts/bench_probe.py --impl chw \
   --taps "dec_final=chunk128,*=stack" \
   --widths 16,32,128,256 --height 1024 --width 2048
 
@@ -57,9 +57,9 @@ run probe_w16_chw_2k_mixedtaps 1800 python scripts/bench_probe.py --impl chw \
 #    (chw_int8 15.32 ms vs NHWC fused+int8 14.5 ms at 1080p) carried the
 #    old XLA entry/pool/exit costs — the mxu movers remove exactly those,
 #    so the posture verdict must be re-taken
-run probe_w64_chwint8_1080p 1800 python scripts/bench_probe.py --impl chw_int8 \
+run probe_w64_chwint8_1080p 2700 python scripts/bench_probe.py --impl chw_int8 \
   --widths 64,128,512,1024 --height 1088 --width 1920
-run probe_w64_chwint8_2k 1800 python scripts/bench_probe.py --impl chw_int8 \
+run probe_w64_chwint8_2k 2700 python scripts/bench_probe.py --impl chw_int8 \
   --widths 64,128,512,1024 --height 1024 --width 2048
 
 # 7. fresh headline on warm caches (refreshes bench_last_good.json)

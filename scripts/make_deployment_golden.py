@@ -45,6 +45,10 @@ if os.environ.get("PCSS_GOLDEN_SMOKE") == "1":
     TEACHER_EPOCHS, STUDENT_EPOCHS = 2, 2
     FIXTURE = os.path.join(tempfile.gettempdir(), "deploy_w16_smoke.npz")
     META = os.path.join(tempfile.gettempdir(), "deploy_w16_smoke.json")
+elif os.environ.get("PCSS_GOLDEN_FAST") == "1":
+    # deadline fallback: full frames/scene, quarter training budget —
+    # a real (if less converged) quality pin is better than no gate
+    TEACHER_EPOCHS, STUDENT_EPOCHS = 15, 22
 
 
 def make_frames(seed: int, n: int):
