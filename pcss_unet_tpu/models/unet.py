@@ -372,14 +372,21 @@ class UNet(nn.Module):
             # odd-size fixup, reference Unetmodel.py:93-97 (static at trace time)
             x = resize_bilinear_align_corners(x, (h - h % 2, w - w % 2))
         x = x.astype(self.dtype)
-        # Inference graphs use the MXU shuffle twins (exact; the XLA
-        # transpose lowering of these lane-crossing shuffles is the
-        # frame's single biggest cost at deployment shapes — see
-        # ops/pixelshuffle.py).  Training keeps the reshape form: its
-        # backward is the cheap transpose and the 2K train step is
-        # HBM-tight.  PCSS_PIXELSHUFFLE=xla forces the old path (A/B).
+        # Inference graphs pick the shuffle twin PER NET ("auto"): the MXU
+        # one-hot-contraction twins (ops/pixelshuffle.py) win where the net
+        # is bandwidth-bound and the systolic array sits idle (trimmed
+        # w16: 13.9 % MFU — the movers nearly halved its 2K frame), but on
+        # the MXU-bound w64 reference net (~64 % MFU) the same contraction
+        # COMPETES with the convs for the MXU and measured a regression
+        # (16.08 vs 14.5 ms at 1080p, logs/bench_r5e.jsonl) — so wide nets
+        # keep the XLA reshape form.  Training always keeps the reshape
+        # form: its backward is the cheap transpose and the 2K train step
+        # is HBM-tight.  PCSS_PIXELSHUFFLE=mxu|xla forces either (A/B).
+        shuf_mode = os.environ.get("PCSS_PIXELSHUFFLE", "auto")
         mxu_shuf = (not train
-                    and os.environ.get("PCSS_PIXELSHUFFLE", "mxu") == "mxu")
+                    and (shuf_mode == "mxu"
+                         or (shuf_mode == "auto"
+                             and self.encoder_widths[0] <= 32)))
         x = (pixel_unshuffle_nhwc_mxu if mxu_shuf
              else pixel_unshuffle_nhwc)(x, 2)   # [B, H/2, W/2, in_ch*4]
         unshuffled_ch = self.in_ch * 4
