@@ -207,12 +207,19 @@ def main() -> None:
     # The cap leaves a ~360 s reserve so a cold-compile timeout here (the
     # r5a failure mode: a kernel-code change invalidated the cache) still
     # leaves room for the fallback ladder below to land SOME headline.
+    # chw winners get a larger cap and a smaller reserve: the w64
+    # channels-major graph's Mosaic compile through the remote relay
+    # measured ~700-1100 s (r5e: the 540 s challenger cap timed out on a
+    # probe the session completed in ~19 min) — if the bigger cap is
+    # spent and everything after is budget-starved, the stale-last-good
+    # emission at the bottom still hands the driver a parsed line.
     lg_impl = last_good.get("impl", "fused_int8")
     lg_taps = last_good.get("taps", "stack")
     lg_batch = int(last_good.get("batch", 1))
     lg_scan = 32 if not lg_impl.startswith("chw") else 0
     try:
-        cap = min(480.0, _remaining() - 375.0)
+        cap = (min(900.0, _remaining() - 165.0) if lg_impl.startswith("chw")
+               else min(480.0, _remaining() - 375.0))
         r = probe(lg_impl, lg_taps, lg_batch, h, w, lg_scan, W64, cap_s=cap)
         record_headline(r, lg_batch, lg_impl, lg_taps)
     except Exception as e:  # noqa: BLE001 — fall through to the ladder
@@ -294,8 +301,8 @@ def main() -> None:
     # posture, throughput/batch postures, and last the w64 channels-major
     # probes (measured negative in round 5 — logs/bench_r5a.jsonl — kept
     # as cheap regression watches when budget allows).
-    def try_headline(impl, taps, batch, scan):
-        r = probe(impl, taps, batch, h, w, scan, W64, cap_s=540)
+    def try_headline(impl, taps, batch, scan, cap_s=540):
+        r = probe(impl, taps, batch, h, w, scan, W64, cap_s=cap_s)
         record_headline(r, batch, impl, taps)
 
     def try_2k_tp(batch, taps="stack"):
@@ -313,10 +320,11 @@ def main() -> None:
     tp_taps = t_first[1] if t_first[0] == "chw" else "stack"
     challengers = [
         ("2k:chw/stack", lambda: try_2k("chw", "stack")),
-        # w64 channels-major is a LIVE headline contender again: its r5a
-        # measured-negative (15.32 vs 14.5 ms NHWC) carried the old XLA
-        # entry/pool/exit, which the MXU movers (commit cb0ac29) replace
-        ("hl:chw_int8", lambda: try_headline("chw_int8", "stack", 1, 0)),
+        # w64 channels-major WON its r5e rematch under the MXU movers —
+        # 10.57 ms vs 14.5 NHWC (logs/bench_r5e.jsonl) — and is the
+        # expected headline; its Mosaic compile needs the bigger cap
+        ("hl:chw_int8",
+         lambda: try_headline("chw_int8", "stack", 1, 0, cap_s=900)),
         ("2k:fused_int8", lambda: try_2k("fused_int8")),
         ("hl:fused_int8/acc_shift",
          lambda: try_headline("fused_int8", "acc_shift", 1, 32)),
@@ -381,6 +389,20 @@ def main() -> None:
             if k in last_good:
                 result[k] = last_good[k]
         result["trimmed_2k_stale"] = True
+    # Context, not substitution: when this run's best FRESH measurement is
+    # below the persisted best (e.g. the champion posture's probe timed
+    # out and a fallback landed), say so explicitly — the headline value
+    # stays the fresh number.
+    if (best["fps"] > 0 and last_good.get("frame") == frame
+            and last_good.get("value", 0) > result["value"] * 1.02
+            and not result.get("stale_from_last_good")):
+        result["last_good_value"] = last_good["value"]
+        result["last_good_impl"] = last_good.get("impl")
+        result["last_good_measured_at"] = last_good.get("measured_at")
+        result["note"] = (result.get("note", "") +
+                          "; a faster persisted measurement exists "
+                          "(last_good keys) — its posture's probe did "
+                          "not complete within this run's budget")
     done.set()
     print(json.dumps(result))
     if result.get("value", 0) <= 0:

@@ -47,5 +47,29 @@ run probe_w16_chwint8_2k 1200 python scripts/bench_probe.py --impl chw_int8 \
 run probe_w16_chw_2k_b2 1200 python scripts/bench_probe.py --impl chw \
   --batch 2 --widths 16,32,128,256 --height 1024 --width 2048
 
+# 2K posture rows for the BENCHMARKS.md table whose r4 sibling-session
+# evidence was never retained (VERDICT next-#2): re-measure the cited
+# configurations at the paper-native 2048x1024
+run probe_w64_plain_2k 900 python scripts/bench_probe.py \
+  --impl plain --scan 32 --skip_flops \
+  --widths 64,128,512,1024 --height 1024 --width 2048
+run probe_w64_fusedint8_2k 900 python scripts/bench_probe.py \
+  --impl fused_int8 --scan 32 --skip_flops \
+  --widths 64,128,512,1024 --height 1024 --width 2048
+run probe_w16_plain_2k 600 python scripts/bench_probe.py \
+  --impl plain --scan 32 --skip_flops \
+  --widths 16,32,128,256 --height 1024 --width 2048
+run probe_w16_fused_2k 600 python scripts/bench_probe.py \
+  --impl fused --scan 32 --skip_flops \
+  --widths 16,32,128,256 --height 1024 --width 2048
+run probe_w16_fusedint8_2k 600 python scripts/bench_probe.py \
+  --impl fused_int8 --scan 32 --skip_flops \
+  --widths 16,32,128,256 --height 1024 --width 2048
+
 run bench_headline 1500 python bench.py
+
+# per-stage mover A/B, re-run with a cap sized for its ~2x-per-stage
+# compiles (the r5e run died at 900 s after capturing entry: 3.23 ms
+# XLA vs 0.136 ms MXU)
+run bench_stages 1800 sh -c "python scripts/bench_chw_stages.py > logs/bench_stages_r5f.jsonl"
 echo "=== r5f session done ===" >&2
