@@ -27,6 +27,7 @@ Layout: NHWC (TPU-native), resizing axes 1 (H) and 2 (W).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -146,11 +147,34 @@ def banded_apply(x: jax.Array, m: np.ndarray, axis: int, *,
 
 def _apply_hw_matrices(x: jax.Array, m_h: np.ndarray | None,
                        m_w: np.ndarray | None) -> jax.Array:
-    # NHWC: H is a free dim (align 1); W is the sublane axis (align 8)
+    """NHWC model-path resizes run the DENSE MXU contraction.
+
+    Banding here (briefly the round-5 default) saves ~97 % of the
+    interp-matmul FLOPs but splits each resize into ~H/128 small dots
+    with slice/concat glue — a win only where the MXU is idle.  The
+    bandwidth-bound trimmed net deploys through the channels-major
+    engine (which calls banded_apply directly and keeps the win), while
+    the NHWC path's main consumer is the MXU-fed w64 net, where the r5e
+    sweep measured the banded graph ~1 ms slower at 1080p
+    (logs/bench_r5e.jsonl fused_int8 16.08 / fused 20.14 vs r4c's 14.47
+    canonical; logs/bench_r5f.jsonl A/Bs the revert).
+    PCSS_BANDED_RESIZE=1 forces banding back on for A/B."""
+    if os.environ.get("PCSS_BANDED_RESIZE") == "1":
+        if m_h is not None and not _is_identity(m_h):
+            x = banded_apply(x, m_h, axis=1, align=1)
+        if m_w is not None and not _is_identity(m_w):
+            x = banded_apply(x, m_w, axis=2, align=8)
+        return x
+    dtype = x.dtype
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
     if m_h is not None and not _is_identity(m_h):
-        x = banded_apply(x, m_h, axis=1, align=1)
+        mh = jnp.asarray(m_h, dtype)
+        x = jnp.einsum("oh,nhwc->nowc", mh, x, precision=prec,
+                       preferred_element_type=jnp.float32).astype(dtype)
     if m_w is not None and not _is_identity(m_w):
-        x = banded_apply(x, m_w, axis=2, align=8)
+        mw = jnp.asarray(m_w, dtype)
+        x = jnp.einsum("ow,nhwc->nhoc", mw, x, precision=prec,
+                       preferred_element_type=jnp.float32).astype(dtype)
     return x
 
 

@@ -72,4 +72,11 @@ run bench_headline 1500 python bench.py
 # compiles (the r5e run died at 900 s after capturing entry: 3.23 ms
 # XLA vs 0.136 ms MXU)
 run bench_stages 1800 sh -c "python scripts/bench_chw_stages.py > logs/bench_stages_r5f.jsonl"
+
+# banded-resize A/B on the w64 NHWC posture (the resize.py revert landed
+# mid-session: probe_w64_fusedint8_auto above ran BANDED at 15.68 ms;
+# this explicit re-run is the DENSE side — expect ~14.5)
+run probe_w64_fusedint8_dense 1200 python scripts/bench_probe.py \
+  --impl fused_int8 --scan 32 --skip_flops \
+  --widths 64,128,512,1024 --height 1088 --width 1920
 echo "=== r5f session done ===" >&2
