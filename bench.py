@@ -381,14 +381,19 @@ def main() -> None:
         result["stale_measured_at"] = last_good.get("measured_at")
         result["note"] = ("STALE: no probe completed this run; values are "
                           "the last persisted TPU measurement")
+    # Trimmed-2K keys ride along stale whenever this run couldn't measure
+    # them fresh (budget went to the headline probe) — not only when the
+    # whole line is stale.  Guard: only for the canonical 2K frame, so an
+    # env-shrunk smoke run never launders full-size values.
     if (result.get("trimmed_2k_ms_per_frame") is None
             and last_good.get("trimmed_2k_ms_per_frame")
-            and result.get("stale_from_last_good")):
+            and (th, tw) == (1024, 2048)):
         for k in ("trimmed_2k_ms_per_frame", "trimmed_2k_impl",
                   "trimmed_2k_taps", "trimmed_2k_vs_paper_optimized_5.8ms"):
             if k in last_good:
                 result[k] = last_good[k]
         result["trimmed_2k_stale"] = True
+        result["trimmed_2k_stale_measured_at"] = last_good.get("measured_at")
     # Context, not substitution: when this run's best FRESH measurement is
     # below the persisted best (e.g. the champion posture's probe timed
     # out and a fallback landed), say so explicitly — the headline value
