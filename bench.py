@@ -319,6 +319,10 @@ def main() -> None:
 
     tp_taps = t_first[1] if t_first[0] == "chw" else "stack"
     challengers = [
+        # int8 under the MXU movers is the trimmed net's 2K champion
+        # (1.76 vs 3.12 ms bf16, logs/bench_r5f.jsonl) — once the layout
+        # stages stopped dominating, the int8-halvable MXU fraction did
+        ("2k:chw_int8", lambda: try_2k("chw_int8", "stack")),
         ("2k:chw/stack", lambda: try_2k("chw", "stack")),
         # w64 channels-major WON its r5e rematch under the MXU movers —
         # 10.57 ms vs 14.5 NHWC (logs/bench_r5e.jsonl) — and is the
