@@ -361,11 +361,44 @@ def main() -> None:
             print(f"challenger {name} failed: {e}", file=sys.stderr)
 
     if (best["fps"] > 0 and "TPU" in result.get("device", "") and not smoke):
-        # never persist smoke-shrunk frames as the last-known-good
+        # MERGE into the last-good record, never clobber it (r5f: a
+        # budget-starved run whose winner probe timed out landed a plain
+        # 43.5 fps fallback and ERASED the 69-fps fused_int8 + trimmed-2K
+        # record).  Rules: start from the same-frame previous record;
+        # this run's headline keys overwrite only if (a) it re-measured
+        # the record's own configuration (authoritative, even if slower)
+        # or (b) it measured something faster; secondary keys (trimmed
+        # 2K, flops) overwrite only when freshly measured, never from the
+        # stale ride-along.
+        _NOT_PERSISTED = ("stale_from_last_good", "stale_measured_at",
+                          "trimmed_2k_stale", "trimmed_2k_stale_measured_at",
+                          "last_good_value", "last_good_impl",
+                          "last_good_measured_at", "error")
+        _HEADLINE = ("metric", "value", "unit", "vs_baseline", "batch",
+                     "impl", "taps", "device", "dtype", "note",
+                     "implied_tflops", "pct_of_peak_bf16")
+        persist = (dict(last_good)
+                   if last_good.get("frame") == frame else {})
+        authoritative = (result.get("impl") == persist.get("impl")
+                         and result.get("taps") == persist.get("taps")
+                         and result.get("batch") == persist.get("batch"))
+        fresh = {k: v for k, v in result.items() if k not in _NOT_PERSISTED}
+        if authoritative or result["value"] >= persist.get("value", 0):
+            persist.update(fresh)
+        else:
+            persist.update({k: v for k, v in fresh.items()
+                            if k not in _HEADLINE})
+        if result.get("trimmed_2k_stale"):
+            # the ride-along values came FROM last_good; don't refresh
+            # their provenance
+            for k in ("trimmed_2k_ms_per_frame", "trimmed_2k_impl",
+                      "trimmed_2k_taps", "trimmed_2k_vs_paper_optimized_5.8ms"):
+                if k in last_good:
+                    persist[k] = last_good[k]
         try:
             os.makedirs(os.path.dirname(_LAST_GOOD), exist_ok=True)
             with open(_LAST_GOOD, "w") as f:
-                json.dump(dict(result, measured_at=time.time()), f)
+                json.dump(dict(persist, measured_at=time.time()), f)
         except OSError:
             pass  # persistence is best-effort; the JSON line still prints
 
