@@ -157,7 +157,8 @@ def _apply_hw_matrices(x: jax.Array, m_h: np.ndarray | None,
     the NHWC path's main consumer is the MXU-fed w64 net, where the r5e
     sweep measured the banded graph ~1 ms slower at 1080p
     (logs/bench_r5e.jsonl fused_int8 16.08 / fused 20.14 vs r4c's 14.47
-    canonical; logs/bench_r5f.jsonl A/Bs the revert).
+    canonical; the revert A/B is logs/bench_r5g.jsonl — dense restores
+    14.57 ms, so shuffles cost 0.4 ms and banding 1.1 of the 1.6 gap).
     PCSS_BANDED_RESIZE=1 forces banding back on for A/B."""
     if os.environ.get("PCSS_BANDED_RESIZE") == "1":
         if m_h is not None and not _is_identity(m_h):
